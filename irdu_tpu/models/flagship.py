@@ -1,0 +1,139 @@
+"""The flagship model: LGU / "LLS-GUnroll" — a 4-scale autoencoder with
+per-scale latent graph filtering.
+
+Behavioural re-implementation of `AbtractMultiScaleGraphFilter`
+(/root/reference/exploration/GGTV_GGLR_v1.0/deep_multiscale_GGLR_GGTV_v1x0.py:1028-1173).
+API mirrors the reference: encode / filtering / decode / enc_dec / __call__
+(the 3-term training loss needs encode+decode separately).
+
+Flagship config (reference scripts_v2/run_abtract_lightformer_GGTV_GGLR_sigma25.py:120-129):
+dims=[48,96,192,384], hidden_dims=[96,192,384,768], ngraphs=[8,16,16,32],
+nsubnets=[1,1,1,1], num_blocks=[4,6,6,8], num_blocks_out=4 → 13.28 M params.
+
+Input: (B, H, W, 3) with H, W divisible by 16 (3 downsamples + the solver's
+internal 2× scale).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from irdu_tpu.models.blocks import (
+    LocalLowpassFilteringBlock,
+    LocalNonLinearBlock,
+    RegionalPixelEmbedding,
+)
+from irdu_tpu.models.layers import Downsample2x2, GroupedPointwise, Upsample2x2
+
+
+class AbstractMultiScaleGraphFilter(nn.Module):
+    n_channels_in: int = 3
+    n_channels_out: int = 3
+    dims: Sequence[int] = (48, 64, 96, 128)
+    hidden_dims: Sequence[int] = (128, 192, 256, 384)
+    nsubnets: Sequence[int] = (1, 1, 1, 1)
+    ngraphs: Sequence[int] = (4, 4, 8, 8)
+    num_blocks: Sequence[int] = (4, 6, 6, 8)
+    num_blocks_out: int = 4
+    window: str = "cross4"
+
+    def setup(self):
+        d, hd, ns = self.dims, self.hidden_dims, self.nsubnets
+
+        self.patch_3x3_embeding = RegionalPixelEmbedding(d[0])
+        self.encoder_scales = [
+            [
+                LocalNonLinearBlock(d[s], hd[s], ns[s], name=f"encoder_scale_{s:02d}_{i}")
+                for i in range(self.num_blocks[s])
+            ]
+            for s in range(4)
+        ]
+        self.down_samples = [
+            Downsample2x2(d[s + 1], groups=ns[s], name=f"down_sample_{s:02d}_{s + 1:02d}")
+            for s in range(3)
+        ]
+
+        self.local_filters = [
+            LocalLowpassFilteringBlock(
+                dim=d[s], ngraphs=self.ngraphs[s], nsubnets=ns[s],
+                window=self.window, name=f"localfilter_scale_{s:02d}",
+            )
+            for s in range(4)
+        ]
+
+        self.up_samples = [
+            Upsample2x2(d[s], groups=ns[s + 1], name=f"up_sample_{s + 1:02d}_{s:02d}")
+            for s in range(3)
+        ]
+        self.combine_channels = [
+            GroupedPointwise(features=d[s], groups=ns[s], name=f"combine_channels_{s:02d}")
+            for s in range(3)
+        ]
+        self.decoder_scales = [
+            [
+                LocalNonLinearBlock(d[s], hd[s], ns[s], name=f"decoder_scale_{s:02d}_{i}")
+                for i in range(self.num_blocks[s])
+            ]
+            for s in range(3)
+        ]
+        self.refining_block = [
+            LocalNonLinearBlock(d[0], hd[0], ns[0], name=f"refining_block_{i}")
+            for i in range(self.num_blocks_out)
+        ]
+        self.linear_output = GroupedPointwise(features=self.n_channels_out,
+                                              name="linear_output")
+
+    def encode(self, img: jnp.ndarray):
+        """4-scale encoder; returns the per-scale codes (reference encode,
+        v1x0.py:1101-1115)."""
+        x = self.patch_3x3_embeding(img)
+        codes = []
+        for s in range(4):
+            for block in self.encoder_scales[s]:
+                x = block(x)
+            codes.append(x)
+            if s < 3:
+                x = self.down_samples[s](x)
+        return tuple(codes)
+
+    def filtering(self, codes):
+        """Per-scale unrolled graph filtering (reference filtering,
+        v1x0.py:1117-1131)."""
+        return tuple(self.local_filters[s](codes[s]) for s in range(4))
+
+    def decode(self, codes):
+        """Mirror decoder with skip-concat + 1×1 combine, refinement stack,
+        linear head (reference decode, v1x0.py:1133-1161)."""
+        x = codes[3]
+        for s in (2, 1, 0):
+            x = self.up_samples[s](x)
+            x = jnp.concatenate([x, codes[s]], axis=-1)
+            x = self.combine_channels[s](x)
+            for block in self.decoder_scales[s]:
+                x = block(x)
+        for block in self.refining_block:
+            x = block(x)
+        return self.linear_output(x)
+
+    def enc_dec(self, img: jnp.ndarray) -> jnp.ndarray:
+        return self.decode(self.encode(img))
+
+    def __call__(self, img: jnp.ndarray) -> jnp.ndarray:
+        return self.decode(self.filtering(self.encode(img)))
+
+
+def flagship_config() -> dict:
+    """The trained flagship (LGU) configuration."""
+    return dict(
+        n_channels_in=3,
+        n_channels_out=3,
+        dims=(48, 96, 192, 384),
+        hidden_dims=(96, 192, 384, 768),
+        nsubnets=(1, 1, 1, 1),
+        ngraphs=(8, 16, 16, 32),
+        num_blocks=(4, 6, 6, 8),
+        num_blocks_out=4,
+    )

@@ -1,0 +1,33 @@
+"""Test config: force JAX onto a virtual 8-device CPU mesh.
+
+Must run before jax is imported anywhere, hence the env mutation at
+module import time (pytest imports conftest first).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REFERENCE_ROOT = "/root/reference"
+
+
+def has_reference() -> bool:
+    return os.path.isdir(os.path.join(REFERENCE_ROOT, "exploration"))
+
+
+requires_reference = pytest.mark.skipif(
+    not has_reference(), reason="torch reference repo not mounted"
+)
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)
