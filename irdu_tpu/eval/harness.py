@@ -1,0 +1,104 @@
+"""Full-image benchmark evaluation — the reference protocol, jit-friendly.
+
+Protocol (reference eval loops, scripts_v2/run_abtract_lightformer_GGTV_GGLR_
+sigma25.py:235-343 and GGTV_GGLR_v1.0/README.ipynb cell 10):
+
+  * one np.random.RandomState(2204) shared across a dataset, noise drawn
+    per image in index order: ``+ N(0, σ/255)``;
+  * reflect-pad (edge-excluded) bottom/right to a multiple of 16;
+  * forward pass, crop back, clamp to [0,1];
+  * quantize with img_as_ubyte, PSNR vs the 255-scale uint8 truth.
+
+TPU notes: jit recompiles per input shape, so `evaluate_pairs` optionally
+buckets images — pad to the next multiple of `bucket` (with reflect
+padding) so a whole benchmark set shares a handful of compiled shapes.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable, Iterable, Sequence
+
+import numpy as np
+
+from irdu_tpu.data.degradations import eval_noise
+from irdu_tpu.eval.metrics import img_as_ubyte, psnr_255
+
+
+def pad_to_multiple(img: np.ndarray, factor: int = 16) -> tuple[np.ndarray, int, int]:
+    """Reflect-pad bottom/right so H, W are multiples of `factor` (torch
+    F.pad 'reflect' == numpy 'reflect': edge sample not repeated).
+    Returns (padded, orig_h, orig_w)."""
+    h, w = img.shape[:2]
+    pad_h = (factor - h % factor) % factor
+    pad_w = (factor - w % factor) % factor
+    if pad_h or pad_w:
+        img = np.pad(img, ((0, pad_h), (0, pad_w), (0, 0)), mode="reflect")
+    return img, h, w
+
+
+def evaluate_pairs(
+    forward: Callable[[np.ndarray], np.ndarray],
+    images_255: Iterable[np.ndarray],
+    sigma: float,
+    *,
+    seed: int = 2204,
+    factor: int = 16,
+    bucket: int | None = None,
+) -> dict:
+    """Run the benchmark protocol over uint8 HWC images.
+
+    forward: maps (1, H, W, 3) float32 → (1, H, W, 3) (jitted model apply).
+    bucket: if set, additionally pad each image up to a multiple of
+    `bucket` to bound the number of compiled shapes; output is cropped, so
+    the metric is unchanged up to the model's boundary sensitivity.
+    Returns {"psnr": [...], "mean_psnr": float, "seconds": [...]}.
+    """
+    rs = np.random.RandomState(seed=seed)
+    psnrs, times = [], []
+    pad_factor = bucket if bucket else factor
+    for img_255 in images_255:
+        img_true_255 = img_255.astype(np.float32)
+        img_true = img_true_255 / 255.0
+        noisy = img_true + rs.normal(0, sigma / 255.0, img_true.shape)
+        noisy = noisy.astype(np.float32)
+        padded, h, w = pad_to_multiple(noisy, pad_factor)
+        t0 = time.perf_counter()
+        restored = np.asarray(forward(padded[None]))[0]
+        times.append(time.perf_counter() - t0)
+        restored = np.clip(restored[:h, :w], 0.0, 1.0)
+        restored_255 = img_as_ubyte(restored).astype(np.float32)
+        psnrs.append(psnr_255(img_true_255, restored_255))
+    return {
+        "psnr": psnrs,
+        "mean_psnr": float(np.mean(psnrs)),
+        "seconds": times,
+    }
+
+
+def load_benchmark_images(csv_path: str, root_folder: str) -> list[np.ndarray]:
+    from PIL import Image
+
+    from irdu_tpu.data.dataset import read_image_index
+
+    return [
+        np.array(Image.open(os.path.join(root_folder, info["path"])))
+        for info in read_image_index(csv_path)
+    ]
+
+
+def run_benchmark_eval(
+    forward: Callable,
+    datasets: dict[str, tuple[str, str]],
+    sigma: float = 25.0,
+    **kwargs,
+) -> dict[str, dict]:
+    """Evaluate several benchmark sets: {name: (csv_path, root_folder)} →
+    {name: evaluate_pairs result}. Mirrors the README.ipynb cell-10 sweep
+    over CBSD68/Kodak/McMaster/Urban100."""
+    results = {}
+    for name, (csv_path, root) in datasets.items():
+        images = load_benchmark_images(csv_path, root)
+        results[name] = evaluate_pairs(forward, images, sigma, **kwargs)
+    return results

@@ -9,13 +9,17 @@ deep_multiscale_GGLR_GGTV_v1x0.py:13-523) as pure, fusible jnp functions:
   * graph gradient C / divergence Cᵀ (the GTV split operators)
   * the "generalized" polynomial stencil conv (stats_conv) and its adjoint
 
-Layout: grouped-NHWC ``(B, H, W, G, F)`` — G graphs, F node features.
-Edge-indexed tensors are stacked edge-major: ``(E, B, H, W, G, F)``.
-Edge weights: ``(B, H, W, G, E)``.
+Layout (TPU-first): all signal tensors are flat-channel NHWC ``(B, H, W, C)``
+with C = G·F (G graphs × F node features, channel c ↔ (g = c//F, f = c%F),
+matching the reference's channel order). C rides the 128-wide lane
+dimension; the (G, F) split only appears transiently inside fused
+reshape-reduce/broadcast ops, never as the layout of a materialised array.
+Edge weights are ``(B, H, W, G, E)`` (E small); edge-indexed signals are
+tuples of E NHWC arrays.
 
-Everything reduces to `shift2d` + elementwise math + tiny reductions, so a
-jitted caller gets one fused XLA stencil pipeline; `ops.pallas` provides
-hand-fused kernels for the hottest compositions.
+Everything reduces to `shift2d` + elementwise math + tiny grouped
+reductions, so a jitted caller gets one fused XLA stencil pipeline;
+`ops.pallas` provides hand-fused kernels for the hottest compositions.
 """
 
 from __future__ import annotations
@@ -33,27 +37,54 @@ Deltas = Sequence[tuple[int, int]]
 _NORMALIZE_EPS = 1e-12
 
 
-def normalize_features(feats: jnp.ndarray, multi_m: jnp.ndarray) -> jnp.ndarray:
-    """L2-normalize node features over F, then scale by the learned
-    per-(graph, feature) metric diagonal.
+def _split_gf(x: jnp.ndarray, n_graphs: int) -> jnp.ndarray:
+    """(B,H,W,C) -> (B,H,W,G,F) view (transient, fused by XLA)."""
+    b, h, w, c = x.shape
+    return x.reshape(b, h, w, n_graphs, c // n_graphs)
 
-    feats: (B, H, W, G, F); multi_m: (G, F).
+
+def mul_edge_weight(x: jnp.ndarray, weights: jnp.ndarray, e: int,
+                    n_graphs: int) -> jnp.ndarray:
+    """Per-graph scale of a flat-channel signal by edge weight e:
+    out[..., g·F+f] = x[..., g·F+f] · w[..., g, e]."""
+    b, h, w, c = x.shape
+    xg = _split_gf(x, n_graphs) * weights[..., e, None]
+    return xg.reshape(b, h, w, c)
+
+
+def per_graph_scale(x: jnp.ndarray, vec_g: jnp.ndarray) -> jnp.ndarray:
+    """Multiply (B,H,W,C) by a per-graph vector (G,) broadcast over F."""
+    g = vec_g.shape[0]
+    b, h, w, c = x.shape
+    xg = _split_gf(x, g) * vec_g[:, None]
+    return xg.reshape(b, h, w, c)
+
+
+def normalize_features(feats: jnp.ndarray, multi_m: jnp.ndarray,
+                       n_graphs: int) -> jnp.ndarray:
+    """L2-normalize node features within each graph's F-block, then scale
+    by the learned per-(graph, feature) metric diagonal.
+
+    feats: (B,H,W,C); multi_m: (G, F).
     Matches reference `normalize_and_transform_features` (v1x0.py:146-157):
     ``x / max(||x||₂, 1e-12) · diag(M)``.
     """
-    norm = jnp.sqrt(jnp.sum(feats * feats, axis=-1, keepdims=True))
-    feats = feats / jnp.maximum(norm, _NORMALIZE_EPS)
-    return feats * multi_m
+    b, h, w, c = feats.shape
+    fg = _split_gf(feats, n_graphs)
+    norm = jnp.sqrt(jnp.sum(fg * fg, axis=-1, keepdims=True))
+    fg = fg / jnp.maximum(norm, _NORMALIZE_EPS)
+    return (fg * multi_m).reshape(b, h, w, c)
 
 
 def extract_edge_weights(
     feats: jnp.ndarray,
     multi_m: jnp.ndarray,
     deltas: Deltas,
+    n_graphs: int,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Per-pixel row-stochastic edge weights.
 
-    Returns (weights (B,H,W,G,E), degree (B,H,W,G)).
+    feats: (B,H,W,C). Returns (weights (B,H,W,G,E), degree (B,H,W,G)).
 
     Semantics (reference `extract_edge_weights`, v1x0.py:160-175): both
     endpoints are normalized+metric-scaled, similarity is their dot over F
@@ -61,26 +92,30 @@ def extract_edge_weights(
     edge axis. The degree is the softmax row sum — identically 1, kept for
     API parity with the reference (which also computes-and-ignores it).
     """
-    t = normalize_features(feats, multi_m)
-    sims = [jnp.sum(t * shift2d(t, dh, dw), axis=-1) for dh, dw in deltas]
+    t = normalize_features(feats, multi_m, n_graphs)
+    tg = _split_gf(t, n_graphs)
+    sims = [
+        jnp.sum(tg * _split_gf(shift2d(t, dh, dw), n_graphs), axis=-1)
+        for dh, dw in deltas
+    ]
     sim = jnp.stack(sims, axis=-1)  # (B,H,W,G,E)
     weights = jax.nn.softmax(sim, axis=-1)
     degree = jnp.sum(weights, axis=-1)
     return weights, degree
 
 
-def op_l_norm(x: jnp.ndarray, weights: jnp.ndarray, deltas: Deltas) -> jnp.ndarray:
+def op_l_norm(x: jnp.ndarray, weights: jnp.ndarray, deltas: Deltas,
+              n_graphs: int) -> jnp.ndarray:
     """Random-walk normalized Laplacian matvec: ``x − Σ_e w_e ⊙ shift_e(x)``.
 
-    x: (B,H,W,G,F); weights: (B,H,W,G,E). Matches reference `op_L_norm`
+    x: (B,H,W,C); weights: (B,H,W,G,E). Matches reference `op_L_norm`
     (v1x0.py:218-228) including replicate-pad neighbour reads.
     """
-    wx = x  # accumulate x - sum as x + sum(-...)
     acc = None
     for e, (dh, dw) in enumerate(deltas):
-        term = weights[..., e, None] * shift2d(x, dh, dw)
+        term = mul_edge_weight(shift2d(x, dh, dw), weights, e, n_graphs)
         acc = term if acc is None else acc + term
-    return wx - acc
+    return x - acc
 
 
 def stats_conv(x: jnp.ndarray, stats: Mapping[str, jnp.ndarray] | None) -> jnp.ndarray:
@@ -88,7 +123,7 @@ def stats_conv(x: jnp.ndarray, stats: Mapping[str, jnp.ndarray] | None) -> jnp.n
     GGLR/GGTV): identity + ∂x + ∂y + 4-point Laplacian stencils, each
     scaled by a learned coefficient; replicate-pad boundary.
 
-    stats: dict with p01, p02a, p02b, p03 — each broadcastable to (G, F)
+    stats: dict with p01, p02a, p02b, p03 — each broadcastable to (C,)
     (per-channel in the flagship, scalar in the v5–v8 family). ``None``
     means the stencil is disabled (the *_no_orders ablations): identity.
 
@@ -135,12 +170,13 @@ def glr_apply(
     x: jnp.ndarray,
     weights: jnp.ndarray,
     deltas: Deltas,
+    n_graphs: int,
     stats: Mapping[str, jnp.ndarray] | None,
 ) -> jnp.ndarray:
     """GGLR operator: ``stats_convᵀ ∘ L ∘ stats_conv`` (reference
     `GLRFast.forward`, v1x0.py:231-237)."""
     y = stats_conv(x, stats)
-    y = op_l_norm(y, weights, deltas)
+    y = op_l_norm(y, weights, deltas, n_graphs)
     return stats_conv_transpose(y, stats)
 
 
@@ -148,31 +184,32 @@ def op_c(
     x: jnp.ndarray,
     weights: jnp.ndarray,
     deltas: Deltas,
+    n_graphs: int,
     stats: Mapping[str, jnp.ndarray] | None,
-) -> jnp.ndarray:
+) -> tuple[jnp.ndarray, ...]:
     """Graph gradient: per-edge ``w_e · (x_i − x_j)`` after the stencil conv.
 
-    Returns edge signals (E, B, H, W, G, F). Matches reference `op_C`
+    Returns a tuple of E arrays (B,H,W,C). Matches reference `op_C`
     (v1x0.py:452-467) — the stencil conv is applied inside, neighbours read
     with replicate padding.
     """
     xs = stats_conv(x, stats)
-    out = [
-        weights[..., e, None] * (xs - shift2d(xs, dh, dw))
+    return tuple(
+        mul_edge_weight(xs - shift2d(xs, dh, dw), weights, e, n_graphs)
         for e, (dh, dw) in enumerate(deltas)
-    ]
-    return jnp.stack(out, axis=0)
+    )
 
 
 def op_c_transpose(
-    edge_signals: jnp.ndarray,
+    edge_signals: Sequence[jnp.ndarray],
     weights: jnp.ndarray,
     deltas: Deltas,
+    n_graphs: int,
     stats: Mapping[str, jnp.ndarray] | None,
 ) -> jnp.ndarray:
     """Graph divergence Cᵀε, the adjoint scatter of `op_c`.
 
-    edge_signals: (E, B, H, W, G, F); weights: (B, H, W, G, E).
+    edge_signals: tuple of E arrays (B,H,W,C); weights: (B,H,W,G,E).
 
     The reference (v1x0.py:469-516) computes this with replicate-pad +
     in-place shifted-slice subtraction + crop. That sequence is exactly
@@ -183,7 +220,7 @@ def op_c_transpose(
     """
     acc = None
     for e, (dh, dw) in enumerate(deltas):
-        we = weights[..., e, None] * edge_signals[e]
+        we = mul_edge_weight(edge_signals[e], weights, e, n_graphs)
         term = we - shift2d(we, -dh, -dw, mode="zero")
         acc = term if acc is None else acc + term
     return stats_conv_transpose(acc, stats)
@@ -193,16 +230,19 @@ def gtv_apply(
     x: jnp.ndarray,
     weights: jnp.ndarray,
     deltas: Deltas,
+    n_graphs: int,
     stats: Mapping[str, jnp.ndarray] | None,
 ) -> jnp.ndarray:
     """GGTV operator ``CᵀC`` (reference `GTVFast.forward`, v1x0.py:518-523)."""
-    eps = op_c(x, weights, deltas, stats)
-    return op_c_transpose(eps, weights, deltas, stats)
+    eps = op_c(x, weights, deltas, n_graphs, stats)
+    return op_c_transpose(eps, weights, deltas, n_graphs, stats)
 
 
-def soft_threshold(delta: jnp.ndarray, gamma: jnp.ndarray) -> jnp.ndarray:
+def soft_threshold(delta: jnp.ndarray, gamma_c: jnp.ndarray) -> jnp.ndarray:
     """Edge-domain soft shrinkage S_γ (reference `soft_threshold`,
-    v1x0.py:684-704). delta: (E,B,H,W,G,F); gamma: (G,) per-graph threshold,
-    broadcast over edges/features."""
-    g = gamma[None, None, None, None, :, None]
-    return jnp.where(delta < -g, delta + g, 0.0) + jnp.where(delta > g, delta - g, 0.0)
+    v1x0.py:684-704). delta: (B,H,W,C); gamma_c: per-channel threshold
+    (a per-graph value repeated over F — use `jnp.repeat(gamma, F)`)."""
+    return (
+        jnp.where(delta < -gamma_c, delta + gamma_c, 0.0)
+        + jnp.where(delta > gamma_c, delta - gamma_c, 0.0)
+    )

@@ -16,8 +16,9 @@ quirk-for-quirk — these are load-bearing for checkpoint/PSNR parity:
     simply don't take it;
   * the bias update uses ε−bias = 2·S_γ(Cx) − Cx.
 
-Solving is linear in the signal given the edge weights, so everything
-fuses into one XLA stencil pipeline per scale.
+Everything stays flat-channel NHWC; solving is linear in the signal given
+the edge weights, so the whole unroll fuses into one XLA stencil pipeline
+per scale.
 """
 
 from __future__ import annotations
@@ -25,15 +26,17 @@ from __future__ import annotations
 from typing import Sequence
 
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
-from irdu_tpu.models.layers import GroupedPointwise, box_down2x2, box_up2x2, torch_conv_init
+from irdu_tpu.models.layers import Downsample2x2, GroupedPointwise, box_down2x2, box_up2x2
 from irdu_tpu.ops.graph import (
     extract_edge_weights,
     glr_apply,
     gtv_apply,
     op_c,
     op_c_transpose,
+    per_graph_scale,
     soft_threshold,
 )
 from irdu_tpu.ops.windows import WINDOWS
@@ -60,14 +63,22 @@ class _GraphOpParams(nn.Module):
         g, f = self.n_graphs, self.n_node_fts
         self.multi_m = self.param("multiM", _const_init(self.m_diag_init), (g, f))
         if self.with_stats:
-            self.stats = {
+            # stored (G, F) to mirror the reference's per-channel (C,1,1,1)
+            # coefficients; flattened to (C,) at use sites.
+            self._stats = {
                 "p01": self.param("stats_p01", _const_init(1.0), (g, f)),
                 "p02a": self.param("stats_p02a", _const_init(0.5), (g, f)),
                 "p02b": self.param("stats_p02b", _const_init(0.5), (g, f)),
                 "p03": self.param("stats_p03", _const_init(0.5), (g, f)),
             }
         else:
-            self.stats = None
+            self._stats = None
+
+    @property
+    def stats(self):
+        if self._stats is None:
+            return None
+        return {k: v.reshape(-1) for k, v in self._stats.items()}
 
     def __call__(self):  # params-only module
         raise NotImplementedError
@@ -98,14 +109,10 @@ class MixtureGTVGLR(nn.Module):
         # full-res feature head: 1×1 conv C -> 2C, no bias (v1x0.py:556-566)
         self.feat00 = GroupedPointwise(features=2 * c, name="patchs_features_extraction00")
         # half-res head: 2×2 stride-2 conv C -> C, then 1×1 C -> 2C (v1x0.py:593-612)
-        from irdu_tpu.models.layers import Downsample2x2
-
         self.feat01_down = Downsample2x2(features=c, name="patchs_features_extraction01_down")
         self.feat01_point = GroupedPointwise(features=2 * c, name="patchs_features_extraction01_point")
 
         # log-parameterized positive weights (the v12→v13 change)
-        import numpy as np
-
         self.ro00 = self.param("ro00", _const_init(float(np.log(self.ro_init[0]))), (g,))
         self.ro01 = self.param("ro01", _const_init(float(np.log(self.ro_init[1]))), (g,))
         self.gamma00 = self.param("gamma00", _const_init(float(np.log(self.gamma_init[0]))), (g,))
@@ -120,87 +127,88 @@ class MixtureGTVGLR(nn.Module):
 
     # -- helpers ---------------------------------------------------------
 
-    def _grouped(self, x):
-        b, h, w, c = x.shape
-        return x.reshape(b, h, w, self.n_graphs, self.n_node_fts)
-
-    def _per_graph(self, x, vec):
-        """Multiply (B,H,W,G,F) by exp(vec)[G]."""
-        return x * jnp.exp(vec)[:, None]
-
     def _system_matvec(self, x, w_gtv, w_glr):
         """A·x for the two-scale system
         A = I + μ₀·GLR₀ + ρ₀·GTV₀ + Up(μ₁·GLR₁ + ρ₁·GTV₁)Down
         (reference apply_lightweight_transformer, v1x0.py:642-682)."""
-        d = self.deltas
+        d, g = self.deltas, self.n_graphs
         out = x
-        out = out + self._per_graph(glr_apply(x, w_glr[0], d, self.glr00.stats), self.muys00)
-        out = out + self._per_graph(gtv_apply(x, w_gtv[0], d, self.gtv00.stats), self.ro00)
+        out = out + per_graph_scale(
+            glr_apply(x, w_glr[0], d, g, self.glr00.stats), jnp.exp(self.muys00))
+        out = out + per_graph_scale(
+            gtv_apply(x, w_gtv[0], d, g, self.gtv00.stats), jnp.exp(self.ro00))
         x2 = box_down2x2(x)
-        temp = self._per_graph(glr_apply(x2, w_glr[1], d, self.glr01.stats), self.muys01)
-        temp = temp + self._per_graph(gtv_apply(x2, w_gtv[1], d, self.gtv01.stats), self.ro01)
+        temp = per_graph_scale(
+            glr_apply(x2, w_glr[1], d, g, self.glr01.stats), jnp.exp(self.muys01))
+        temp = temp + per_graph_scale(
+            gtv_apply(x2, w_gtv[1], d, g, self.gtv01.stats), jnp.exp(self.ro01))
         return out + box_up2x2(temp)
 
     def _rhs(self, y, eps00, eps01, w_gtv00, w_gtv01):
         """RHS build: y + ρ₀·Cᵀ₀ε₀ + ρ₁·Up(Cᵀ₁ε₁) (v1x0.py:744-749, 776-781)."""
-        d = self.deltas
-        rhs = y + self._per_graph(
-            op_c_transpose(eps00, w_gtv00, d, self.gtv00.stats), self.ro00
-        )
-        up = box_up2x2(op_c_transpose(eps01, w_gtv01, d, self.gtv01.stats))
-        return rhs + self._per_graph(up, self.ro01)
+        d, g = self.deltas, self.n_graphs
+        rhs = y + per_graph_scale(
+            op_c_transpose(eps00, w_gtv00, d, g, self.gtv00.stats),
+            jnp.exp(self.ro00))
+        up = box_up2x2(op_c_transpose(eps01, w_gtv01, d, g, self.gtv01.stats))
+        return rhs + per_graph_scale(up, jnp.exp(self.ro01))
+
+    def _alpha(self, i):
+        """α[i] / β[i] broadcast per channel: (G,) -> (C,)."""
+        return jnp.repeat(self.alpha_cgd[i], self.n_node_fts)
+
+    def _beta(self, i):
+        return jnp.repeat(self.beta_cgd[i], self.n_node_fts)
 
     # -- forward ---------------------------------------------------------
 
     def __call__(self, patchs: jnp.ndarray) -> jnp.ndarray:
-        b, h, w, c = patchs.shape
-        d = self.deltas
+        d, g = self.deltas, self.n_graphs
 
         # edge weights at both scales, for GTV and GLR
         f00 = self.feat00(patchs)
         f_gtv00, f_glr00 = jnp.split(f00, 2, axis=-1)
-        w_gtv00, _ = extract_edge_weights(self._grouped(f_gtv00), self.gtv00.multi_m, d)
-        w_glr00, _ = extract_edge_weights(self._grouped(f_glr00), self.glr00.multi_m, d)
+        w_gtv00, _ = extract_edge_weights(f_gtv00, self.gtv00.multi_m, d, g)
+        w_glr00, _ = extract_edge_weights(f_glr00, self.glr00.multi_m, d, g)
 
         f01 = self.feat01_point(self.feat01_down(patchs))
         f_gtv01, f_glr01 = jnp.split(f01, 2, axis=-1)
-        w_gtv01, _ = extract_edge_weights(self._grouped(f_gtv01), self.gtv01.multi_m, d)
-        w_glr01, _ = extract_edge_weights(self._grouped(f_glr01), self.glr01.multi_m, d)
+        w_gtv01, _ = extract_edge_weights(f_gtv01, self.gtv01.multi_m, d, g)
+        w_glr01, _ = extract_edge_weights(f_glr01, self.glr01.multi_m, d, g)
 
         w_gtv = (w_gtv00, w_gtv01)
         w_glr = (w_glr00, w_glr01)
 
-        y = self._grouped(patchs)
+        y = patchs
         y_half = box_down2x2(y)
 
         # ADMM init: ε = C·y at both scales, bias 0 (v1x0.py:738-749)
-        eps_a00 = op_c(y, w_gtv00, d, self.gtv00.stats)
-        eps_a01 = op_c(y_half, w_gtv01, d, self.gtv01.stats)
+        eps_a00 = op_c(y, w_gtv00, d, g, self.gtv00.stats)
+        eps_a01 = op_c(y_half, w_gtv01, d, g, self.gtv01.stats)
         rhs_a = self._rhs(y, eps_a00, eps_a01, w_gtv00, w_gtv01)
 
         # CG step 1 (v1x0.py:751-753) — x₀ = RHS itself
         out00 = rhs_a
         res00 = rhs_a - self._system_matvec(out00, w_gtv, w_glr)
-        out01 = out00 + self.alpha_cgd[0][:, None] * res00
+        out01 = out00 + self._alpha(0) * res00
 
         # ADMM re-threshold + new RHS (v1x0.py:757-781)
-        temp_b00 = op_c(out01, w_gtv00, d, self.gtv00.stats)
-        temp_b01 = op_c(box_down2x2(out01), w_gtv01, d, self.gtv01.stats)
-        eps_b00 = soft_threshold(temp_b00, jnp.exp(self.gamma00))
-        eps_b01 = soft_threshold(temp_b01, jnp.exp(self.gamma01))
-        # ε − bias = 2·S_γ(Cx) − Cx
-        rhs_b = self._rhs(
-            y, eps_b00 - (temp_b00 - eps_b00), eps_b01 - (temp_b01 - eps_b01),
-            w_gtv00, w_gtv01,
-        )
+        gamma00_c = jnp.repeat(jnp.exp(self.gamma00), self.n_node_fts)
+        gamma01_c = jnp.repeat(jnp.exp(self.gamma01), self.n_node_fts)
+        temp_b00 = op_c(out01, w_gtv00, d, g, self.gtv00.stats)
+        temp_b01 = op_c(box_down2x2(out01), w_gtv01, d, g, self.gtv01.stats)
+        # ε − bias = 2·S_γ(Cx) − Cx, per edge
+        rhs_eps00 = tuple(2.0 * soft_threshold(t, gamma00_c) - t for t in temp_b00)
+        rhs_eps01 = tuple(2.0 * soft_threshold(t, gamma01_c) - t for t in temp_b01)
+        rhs_b = self._rhs(y, rhs_eps00, rhs_eps01, w_gtv00, w_gtv01)
 
         # CG steps 2–3 with β-momentum (β[1] unused by design, v1x0.py:784-790)
         res01 = rhs_b - self._system_matvec(out01, w_gtv, w_glr)
         update01 = res01
-        out02 = out01 + self.alpha_cgd[1][:, None] * update01
+        out02 = out01 + self._alpha(1) * update01
 
         res03 = rhs_b - self._system_matvec(out02, w_gtv, w_glr)
-        update03 = res03 + self.beta_cgd[2][:, None] * update01
-        out03 = out02 + self.alpha_cgd[2][:, None] * update03
+        update03 = res03 + self._beta(2) * update01
+        out03 = out02 + self._alpha(2) * update03
 
-        return out03.reshape(b, h, w, c)
+        return out03

@@ -1,0 +1,69 @@
+"""Orbax checkpointing with the reference's auto-resume behaviour.
+
+The reference saves {'i', model, optimizer, lr_scheduler} every 5k iters
+(denser near the end) and `run_train.py:43-61` auto-discovers the latest
+checkpoint by sorting the directory listing. Here: orbax saves
+{step, params, opt_state} (+ the data-iterator position, the analogue of
+ResumeableSampler state), and `latest_step`/`restore` reproduce the
+auto-resume story.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, *, max_to_keep: int | None = None):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=max_to_keep, create=True, enable_async_checkpointing=True
+        )
+        self._mngr = ocp.CheckpointManager(self.directory, options=options)
+
+    def save(self, step: int, state, data_state: dict[str, Any] | None = None):
+        payload = {
+            "state": ocp.args.StandardSave({
+                "params": state.params,
+                "opt_state": state.opt_state,
+                "step": state.step,
+            }),
+        }
+        if data_state is not None:
+            payload["data"] = ocp.args.JsonSave(data_state)
+        self._mngr.save(step, args=ocp.args.Composite(**payload))
+
+    def wait(self):
+        self._mngr.wait_until_finished()
+
+    def latest_step(self) -> int | None:
+        return self._mngr.latest_step()
+
+    def restore(self, state, step: int | None = None):
+        """Restore into the structure of `state`; returns (state, data_state)."""
+        step = step if step is not None else self.latest_step()
+        if step is None:
+            return state, None
+        template = {
+            "params": state.params,
+            "opt_state": state.opt_state,
+            "step": state.step,
+        }
+        restored = self._mngr.restore(
+            step,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardRestore(template),
+                data=ocp.args.JsonRestore(),
+            ),
+        )
+        new_state = state.replace(
+            params=restored["state"]["params"],
+            opt_state=restored["state"]["opt_state"],
+            step=restored["state"]["step"],
+        )
+        return new_state, restored.get("data")

@@ -1,0 +1,198 @@
+"""Config-driven trainer — the finished version of the story the
+reference's `run_train.py` starts but never completes (it builds the
+dataloader then `return None`; the real training lives in 12 hard-coded
+scripts). Here every experiment in the reference's script table
+(SURVEY.md §2.7) is a YAML config driving this one loop.
+
+Loop shape mirrors the reference trainers: progressive patch-size stages
+chained per epoch, per-100-iter rolling PSNR logs, periodic checkpoints
+with auto-resume (including mid-stage data position), periodic
+benchmark-protocol eval.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any
+
+import jax
+import numpy as np
+
+from irdu_tpu.data.dataset import PatchDataset
+from irdu_tpu.data.loader import batched_loader, device_prefetch
+from irdu_tpu.eval.harness import evaluate_pairs, load_benchmark_images
+from irdu_tpu.models.registry import create_model
+from irdu_tpu.parallel.mesh import batch_sharding, make_mesh, shard_batch
+from irdu_tpu.train.checkpoints import CheckpointManager
+from irdu_tpu.train.schedules import flagship_lr_schedule, multistep_then_cosine, multistep_schedule
+from irdu_tpu.train.steps import create_train_state, make_eval_forward, make_train_step
+from irdu_tpu.utils.config import pretty_config
+from irdu_tpu.utils.logging import get_root_logger
+from irdu_tpu.utils.seeding import set_random_seed
+
+
+def build_schedule(conf: dict):
+    kind = conf.get("type", "flagship")
+    if kind == "flagship":
+        return flagship_lr_schedule()
+    if kind == "multistep":
+        return multistep_schedule(conf["base_lr"], conf["milestones"], conf.get("gamma", 0.5))
+    if kind == "multistep_then_cosine":
+        return multistep_then_cosine(
+            conf["base_lr"], conf["milestones"], conf["gamma"], conf["switch_step"],
+            conf["cosine_base_lr"], conf["cosine_t_max"], conf.get("eta_min", 1e-6),
+        )
+    if kind == "constant":
+        return lambda step: conf["base_lr"]
+    raise ValueError(f"unknown schedule type {kind}")
+
+
+class Trainer:
+    def __init__(self, config: dict[str, Any], workdir: str | None = None):
+        self.config = config
+        self.name = config["name"]
+        self.workdir = workdir or os.path.join(
+            config.get("path", {}).get("root_dir", "experiments"), self.name
+        )
+        os.makedirs(self.workdir, exist_ok=True)
+        self.logger = get_root_logger(
+            f"irdu.{self.name}", log_file=os.path.join(self.workdir, "train.log")
+        )
+        self.logger.info("config:\n%s", pretty_config(config))
+
+        self.rng = set_random_seed(config.get("manual_seed", 2204))
+
+        model_conf = dict(config["model"])
+        self.model = create_model(model_conf.pop("type"), **model_conf)
+
+        par_conf = config.get("parallel", {})
+        n_dp = par_conf.get("data_parallel", "auto")
+        devices = jax.devices()
+        if n_dp == "auto":
+            n_dp = len(devices)
+        self.mesh = make_mesh(devices[:n_dp]) if n_dp > 1 else None
+
+        tc = config["train"]
+        schedule = build_schedule(tc.get("schedule", {"type": "flagship"}))
+        stage0 = tc["stages"][0]
+        example = np.zeros(
+            (stage0["batch_size"], stage0["patch_size"], stage0["patch_size"], 3),
+            np.float32,
+        )
+        self.rng, init_rng = jax.random.split(self.rng)
+        self.state = create_train_state(self.model, init_rng, example, schedule)
+        n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(self.state.params))
+        self.logger.info("Init model with total parameters: %d", n_params)
+
+        self.train_step = make_train_step(
+            self.model,
+            self.mesh,
+            use_aux_losses=tc.get("use_aux_losses", True),
+            loss02_weight=tc.get("loss02_weight", 0.1),
+            loss03_weight=tc.get("loss03_weight", 0.5),
+        )
+
+        self.ckpt = CheckpointManager(
+            os.path.join(self.workdir, "checkpoints"),
+            max_to_keep=tc.get("keep_checkpoints", 5),
+        )
+        self.state, self.data_state = self.ckpt.restore(self.state)
+        if self.data_state:
+            self.logger.info("Resumed from step %d", int(self.state.step))
+
+        self.verbose_rate = tc.get("verbose_rate", 100)
+        self.ckpt_rate = tc.get("checkpoint_rate", 5000)
+        self.eval_rate = tc.get("eval_rate", 1000)
+
+    # -- data ------------------------------------------------------------
+
+    def _stage_dataset(self, stage: dict, epoch: int) -> PatchDataset:
+        dc = dict(self.config["datasets"]["train"])
+        ds = PatchDataset(
+            csv_path=dc["csv_path"],
+            root_folder=dc["root_folder"],
+            patch_size=(stage["patch_size"], stage["patch_size"]),
+            max_num_patchs=stage.get("max_num_patchs", 100000),
+            dist_mode=dc.get("dist_mode", "addictive_noise_scale"),
+            lambda_noise=dc.get("lambda_noise", 25.0),
+            use_data_aug=dc.get("use_data_aug", True),
+            seed=dc.get("seed", 2204) + epoch,
+        )
+        return ds
+
+    # -- eval ------------------------------------------------------------
+
+    def run_eval(self) -> dict[str, float]:
+        results = {}
+        eval_conf = self.config.get("eval")
+        if not eval_conf:
+            return results
+        forward = make_eval_forward(self.model, self.state.params)
+        for name, spec in eval_conf.get("datasets", {}).items():
+            images = load_benchmark_images(spec["csv_path"], spec["root_folder"])
+            out = evaluate_pairs(
+                forward, images, eval_conf.get("sigma", 25.0),
+                bucket=eval_conf.get("bucket"),
+            )
+            results[name] = out["mean_psnr"]
+            self.logger.info(
+                "FINISH VAL step=%d dataset=%s psnr_testing=%.4f",
+                int(self.state.step), name, out["mean_psnr"],
+            )
+        return results
+
+    # -- loop ------------------------------------------------------------
+
+    def run(self) -> dict:
+        tc = self.config["train"]
+        num_epochs = tc.get("num_epochs", 1)
+        max_steps = tc.get("max_steps")
+        psnr_hist, mse_hist = [], []
+        start_stage = (self.data_state or {}).get("stage", 0)
+        skip = (self.data_state or {}).get("offset", 0)
+
+        i = int(self.state.step)
+        for epoch in range(num_epochs):
+            for stage_idx, stage in enumerate(tc["stages"]):
+                if epoch == 0 and stage_idx < start_stage:
+                    continue
+                ds = self._stage_dataset(stage, epoch)
+                loader = batched_loader(ds, stage["batch_size"])
+                if self.mesh is not None:
+                    loader = device_prefetch(loader, sharding=batch_sharding(self.mesh))
+                else:
+                    loader = device_prefetch(loader)
+                offset = 0
+                for noisy, clean in loader:
+                    if epoch == 0 and stage_idx == start_stage and offset < skip:
+                        offset += 1
+                        continue
+                    offset += 1
+                    t0 = time.time()
+                    self.rng, step_rng = jax.random.split(self.rng)
+                    self.state, metrics = self.train_step(self.state, noisy, clean, step_rng)
+                    i += 1
+                    if i % self.verbose_rate == 0:
+                        m = jax.device_get(metrics)
+                        psnr_hist.append(float(m["psnr"]))
+                        mse_hist.append(float(m["mse"]))
+                        self.logger.info(
+                            "iter=%d time=%.3f psnr=%.4f mse=%.6f",
+                            i, time.time() - t0,
+                            float(np.mean(psnr_hist[-100:])),
+                            float(np.mean(mse_hist[-100:])),
+                        )
+                    if i % self.ckpt_rate == 0:
+                        self.ckpt.save(i, self.state,
+                                       {"stage": stage_idx, "offset": offset})
+                    if self.eval_rate and i % self.eval_rate == 0:
+                        self.run_eval()
+                    if max_steps and i >= max_steps:
+                        self.ckpt.save(i, self.state,
+                                       {"stage": stage_idx, "offset": offset})
+                        self.ckpt.wait()
+                        return {"step": i}
+        self.ckpt.save(i, self.state, {"stage": len(tc["stages"]) - 1, "offset": 0})
+        self.ckpt.wait()
+        return {"step": i}

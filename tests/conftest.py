@@ -6,12 +6,20 @@ module import time (pytest imports conftest first).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The environment preloads jax via a sitecustomize (PYTHONPATH=/root/.axon_site)
+# with JAX_PLATFORMS=axon pointing at a remote TPU — a hard override (not
+# setdefault) plus a config.update after the preload is required to keep the
+# test suite on the local virtual-8-device CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

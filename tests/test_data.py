@@ -1,0 +1,116 @@
+"""Data layer: augmentation, degradations, dataset sampling semantics,
+loaders."""
+
+import numpy as np
+import pytest
+
+from irdu_tpu.data.augment import dihedral_augment
+from irdu_tpu.data.degradations import add_noise, eval_noise
+from irdu_tpu.data.dataset import PatchDataset, read_image_index
+from irdu_tpu.data.loader import batched_loader, device_prefetch
+from irdu_tpu.data.synthetic import write_synthetic_corpus
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("corpus")
+    csv_path = write_synthetic_corpus(str(root), n_images=6, size_range=(80, 160), seed=3)
+    return str(root), csv_path
+
+
+def test_augment_modes_are_dihedral(rng):
+    img = rng.randn(8, 6, 3).astype(np.float32)
+    outs = [dihedral_augment(img, m) for m in range(8)]
+    # all 8 distinct, shapes correct, involution structure
+    np.testing.assert_array_equal(outs[0], img)
+    assert outs[1].shape == (8, 6, 3)
+    assert outs[2].shape == (6, 8, 3)
+    np.testing.assert_array_equal(dihedral_augment(outs[4], 4), img)
+    flat = {o.tobytes() for o in outs}
+    assert len(flat) == 8
+
+
+def test_noise_modes_match_reference_streams(rng):
+    """Same RandomState seed ⇒ identical noise as the reference's call
+    pattern (draw normal with given scale vs unit-scale multiply)."""
+    patch = np.zeros((16, 16, 3), np.float32)
+    rs1 = np.random.RandomState(7)
+    noisy = add_noise(patch, "addictive_noise", 25.0, rs1)
+    rs2 = np.random.RandomState(7)
+    expect = rs2.normal(0.0, 25.0 / 255.0, patch.shape).astype(np.float32)
+    np.testing.assert_allclose(noisy, expect, atol=1e-7)
+
+    rs1 = np.random.RandomState(7)
+    noisy = add_noise(patch, "addictive_noise_scale", 25.0, rs1)
+    rs2 = np.random.RandomState(7)
+    expect = (rs2.normal(0.0, 1.0, patch.shape) * (25.0 / 255.0)).astype(np.float32)
+    np.testing.assert_allclose(noisy, expect, atol=1e-7)
+
+    rs1 = np.random.RandomState(7)
+    levels = ([1.0, 10.0, 15.0, 20.0, 25.0], [0.1, 0.1, 0.1, 0.1, 0.6])
+    noisy = add_noise(patch, "vary_addictive_noise", levels, rs1)
+    assert np.std(noisy) > 0
+
+    n1 = eval_noise((8, 8, 3), 25.0, seed=2204)
+    n2 = np.random.RandomState(2204).normal(0, 25.0 / 255.0, (8, 8, 3))
+    np.testing.assert_allclose(n1, n2)
+
+
+def test_index_build_and_read(corpus):
+    root, csv_path = corpus
+    infos = read_image_index(csv_path)
+    assert len(infos) == 6
+    for info in infos:
+        assert info["height"] >= 80 and info["width"] >= 80
+        assert info["nchannels"] == 3
+
+
+def test_patch_dataset_shapes_and_determinism(corpus):
+    root, csv_path = corpus
+    ds = PatchDataset(
+        csv_path=csv_path, root_folder=root, patch_size=(48, 48),
+        max_num_patchs=40, dist_mode="addictive_noise_scale",
+        lambda_noise=25.0, use_data_aug=True, seed=11,
+    )
+    assert len(ds) == 40
+    noisy, clean = ds[0]
+    assert noisy.shape == (48, 48, 3) and clean.shape == (48, 48, 3)
+    assert noisy.dtype == np.float32 and clean.dtype == np.float32
+    assert 0.0 <= clean.min() and clean.max() <= 1.0
+    # same seed -> same items
+    ds2 = PatchDataset(
+        csv_path=csv_path, root_folder=root, patch_size=(48, 48),
+        max_num_patchs=40, dist_mode="addictive_noise_scale",
+        lambda_noise=25.0, use_data_aug=True, seed=11,
+    )
+    n2, c2 = ds2[0]
+    np.testing.assert_array_equal(noisy, n2)
+    np.testing.assert_array_equal(clean, c2)
+    # noise std is in the right ballpark
+    assert abs(np.std(noisy - clean) - 25.0 / 255.0) < 0.01
+
+
+def test_patch_dataset_pads_small_images(corpus):
+    root, csv_path = corpus
+    ds = PatchDataset(
+        csv_path=csv_path, root_folder=root, patch_size=(192, 192),
+        max_num_patchs=10, dist_mode="", lambda_noise=None, seed=1,
+    )
+    noisy, clean = ds[0]
+    # all corpus images are < 192 -> symmetric padding path
+    assert clean.shape == (192, 192, 3)
+
+
+def test_batched_loader_and_prefetch(corpus):
+    root, csv_path = corpus
+    ds = PatchDataset(
+        csv_path=csv_path, root_folder=root, patch_size=(32, 32),
+        max_num_patchs=10, dist_mode="addictive_noise", lambda_noise=15.0, seed=5,
+    )
+    batches = list(device_prefetch(batched_loader(ds, batch_size=4)))
+    assert len(batches) == 2  # 10 items, drop_last
+    noisy, clean = batches[0]
+    assert noisy.shape == (4, 32, 32, 3)
+    import jax
+
+    assert isinstance(noisy, jax.Array)
