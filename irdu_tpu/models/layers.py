@@ -172,6 +172,54 @@ class Upsample2x2(nn.Module):
         return depth_to_space(y)
 
 
+def pixel_unshuffle(x: jnp.ndarray, r: int = 2) -> jnp.ndarray:
+    """torch nn.PixelUnshuffle channel order: (B, H·r, W·r, C) →
+    (B, H, W, C·r²) with out channel index c·r² + a·r + b (channel-major,
+    unlike space_to_depth's block-major order)."""
+    b, hr, wr, c = x.shape
+    h, w = hr // r, wr // r
+    x = x.reshape(b, h, r, w, r, c)
+    x = x.transpose(0, 1, 3, 5, 2, 4)  # (B,h,w,C,a,b)
+    return x.reshape(b, h, w, c * r * r)
+
+
+def pixel_shuffle(x: jnp.ndarray, r: int = 2) -> jnp.ndarray:
+    """torch nn.PixelShuffle: (B, H, W, C·r²) → (B, H·r, W·r, C), input
+    channel c·r² + a·r + b lands at spatial offset (a, b)."""
+    b, h, w, cr2 = x.shape
+    c = cr2 // (r * r)
+    x = x.reshape(b, h, w, c, r, r)
+    x = x.transpose(0, 1, 4, 2, 5, 3)  # (B,h,a,w,b,C)
+    return x.reshape(b, h * r, w * r, c)
+
+
+class Conv3x3Zero(nn.Module):
+    """3×3 stride-1 conv with zero padding (torch Conv2d padding=1 default),
+    used by the Restormer-style feature extractor and baselines."""
+
+    features: int
+    groups: int = 1
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        c_in = x.shape[-1]
+        fan_in = (c_in // self.groups) * 9
+        kernel = self.param(
+            "kernel", torch_conv_init(fan_in),
+            (3, 3, c_in // self.groups, self.features),
+        )
+        y = jax.lax.conv_general_dilated(
+            x, kernel, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.groups,
+        )
+        if self.use_bias:
+            bias = self.param("bias", torch_conv_init(fan_in), (self.features,))
+            y = y + bias
+        return y
+
+
 def box_down2x2(x: jnp.ndarray) -> jnp.ndarray:
     """Fixed 2×2 box-mean downsample (the solver's scaling_kernel01, reference
     v1x0.py:613: depthwise 2×2 stride-2 conv with weight 0.25). Works on

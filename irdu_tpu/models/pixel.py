@@ -1,0 +1,68 @@
+"""Pixel-domain model tops (the v1–v8 lineage).
+
+`MultiScaleSequenceDenoiser` (reference model_GLR_GTV_deep_v6.py:1041-1082):
+a learnable 0.1/0.9 global skip around one pixel-domain `MixtureGTV`
+block. The v7 multiblock variant is the same top with n_cnn_fts=128.
+`SharpeningBlock` (v6:1020-1039) is the gated-dconv post-filter earlier
+versions chained after the solver.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from irdu_tpu.models.restormer_blocks import GatedDConvBlock
+from irdu_tpu.solvers.pixel_gtv import MixtureGTV
+
+
+class SharpeningBlock(nn.Module):
+    """Gated-dconv block with a 0.5/0.5 learnable skip (v6:1020-1039)."""
+
+    dim: int
+    hidden_features: int
+
+    @nn.compact
+    def __call__(self, x):
+        sw = self.param(
+            "skip_connect_weight",
+            lambda key, shape: jnp.array([0.5, 0.5], jnp.float32), (2,),
+        )
+        y = GatedDConvBlock(dim_out=self.dim, hidden_features=self.hidden_features,
+                            name="body")(x)
+        return sw[0] * x + sw[1] * y
+
+
+class MultiScaleSequenceDenoiser(nn.Module):
+    n_graphs: int = 24
+    n_node_fts: int = 3
+    n_cnn_fts: int = 72
+    window: str = "diamond12"
+    n_cgd_iters: int = 4
+    muy_init: Sequence[float] = (0.1, 0.0, 0.0, 0.0)
+    ro_init: Sequence[float] = (0.1, 0.0, 0.0, 0.0)
+    gamma_init: Sequence[float] = (0.001, 0.0, 0.0, 0.0)
+
+    @nn.compact
+    def __call__(self, patchs: jnp.ndarray) -> jnp.ndarray:
+        sw = self.param(
+            "skip_connect_weight03",
+            lambda key, shape: jnp.array([0.1, 0.9], jnp.float32), (2,),
+        )
+        y = MixtureGTV(
+            nchannels_in=3,
+            n_graphs=self.n_graphs,
+            n_node_fts=self.n_node_fts,
+            n_cnn_fts=self.n_cnn_fts,
+            window=self.window,
+            n_cgd_iters=self.n_cgd_iters,
+            alpha_init=0.5,
+            beta_init=0.1,
+            muy_init=self.muy_init,
+            ro_init=self.ro_init,
+            gamma_init=self.gamma_init,
+            name="mixtureGLR_block03",
+        )(patchs)
+        return sw[0] * patchs + sw[1] * y

@@ -118,7 +118,8 @@ def op_l_norm(x: jnp.ndarray, weights: jnp.ndarray, deltas: Deltas,
     return x - acc
 
 
-def stats_conv(x: jnp.ndarray, stats: Mapping[str, jnp.ndarray] | None) -> jnp.ndarray:
+def stats_conv(x: jnp.ndarray, stats: Mapping[str, jnp.ndarray] | None,
+               pad_mode: str = "edge") -> jnp.ndarray:
     """Learned polynomial 3×3 stencil (the "generalized"/order part of
     GGLR/GGTV): identity + ∂x + ∂y + 4-point Laplacian stencils, each
     scaled by a learned coefficient; replicate-pad boundary.
@@ -131,13 +132,16 @@ def stats_conv(x: jnp.ndarray, stats: Mapping[str, jnp.ndarray] | None) -> jnp.n
     kernel  p01·δ + p02a·[−1,1]ₓ + p02b·[−1,1]ᵧ + p03·(4δ−N−S−E−W),
     here expressed as clamped shifts so it fuses with the rest of the
     stencil pipeline instead of dispatching a depthwise conv.
+
+    pad_mode: "edge" (replicate — v13/flagship) or "reflect" (the v5–v8
+    family, model_GLR_GTV_deep_v6.py:456).
     """
     if stats is None:
         return x
-    r = shift2d(x, 0, 1)
-    d = shift2d(x, 1, 0)
-    u = shift2d(x, -1, 0)
-    l = shift2d(x, 0, -1)
+    r = shift2d(x, 0, 1, mode=pad_mode)
+    d = shift2d(x, 1, 0, mode=pad_mode)
+    u = shift2d(x, -1, 0, mode=pad_mode)
+    l = shift2d(x, 0, -1, mode=pad_mode)
     return (
         stats["p01"] * x
         + stats["p02a"] * (r - x)
@@ -172,10 +176,11 @@ def glr_apply(
     deltas: Deltas,
     n_graphs: int,
     stats: Mapping[str, jnp.ndarray] | None,
+    stats_pad_mode: str = "edge",
 ) -> jnp.ndarray:
     """GGLR operator: ``stats_convᵀ ∘ L ∘ stats_conv`` (reference
     `GLRFast.forward`, v1x0.py:231-237)."""
-    y = stats_conv(x, stats)
+    y = stats_conv(x, stats, stats_pad_mode)
     y = op_l_norm(y, weights, deltas, n_graphs)
     return stats_conv_transpose(y, stats)
 
@@ -186,6 +191,7 @@ def op_c(
     deltas: Deltas,
     n_graphs: int,
     stats: Mapping[str, jnp.ndarray] | None,
+    stats_pad_mode: str = "edge",
 ) -> tuple[jnp.ndarray, ...]:
     """Graph gradient: per-edge ``w_e · (x_i − x_j)`` after the stencil conv.
 
@@ -193,7 +199,7 @@ def op_c(
     (v1x0.py:452-467) — the stencil conv is applied inside, neighbours read
     with replicate padding.
     """
-    xs = stats_conv(x, stats)
+    xs = stats_conv(x, stats, stats_pad_mode)
     return tuple(
         mul_edge_weight(xs - shift2d(xs, dh, dw), weights, e, n_graphs)
         for e, (dh, dw) in enumerate(deltas)
@@ -232,9 +238,10 @@ def gtv_apply(
     deltas: Deltas,
     n_graphs: int,
     stats: Mapping[str, jnp.ndarray] | None,
+    stats_pad_mode: str = "edge",
 ) -> jnp.ndarray:
     """GGTV operator ``CᵀC`` (reference `GTVFast.forward`, v1x0.py:518-523)."""
-    eps = op_c(x, weights, deltas, n_graphs, stats)
+    eps = op_c(x, weights, deltas, n_graphs, stats, stats_pad_mode)
     return op_c_transpose(eps, weights, deltas, n_graphs, stats)
 
 

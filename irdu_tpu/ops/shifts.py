@@ -20,6 +20,8 @@ def shift2d(x: jnp.ndarray, dh: int, dw: int, *, mode: str = "edge",
     (reference v1x0.py:128-144).
     mode="zero": out-of-range reads produce 0 (the scatter semantics of the
     reference's ``op_C_transpose`` in-place updates, v1x0.py:469-513).
+    mode="reflect": edge-excluded reflection (torch "reflect" pad — the
+    v5–v8 family's stats_conv boundary, model_GLR_GTV_deep_v6.py:456).
     """
     if dh == 0 and dw == 0:
         return x
@@ -31,6 +33,8 @@ def shift2d(x: jnp.ndarray, dh: int, dw: int, *, mode: str = "edge",
         xp = jnp.pad(x, pad, mode="edge")
     elif mode == "zero":
         xp = jnp.pad(x, pad, mode="constant")
+    elif mode == "reflect":
+        xp = jnp.pad(x, pad, mode="reflect")
     else:
         raise ValueError(f"unknown shift mode: {mode}")
     idx = [slice(None)] * ndim

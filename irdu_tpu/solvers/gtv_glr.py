@@ -42,46 +42,7 @@ from irdu_tpu.ops.graph import (
 from irdu_tpu.ops.windows import WINDOWS
 
 
-def _const_init(value: float):
-    def init(key, shape, dtype=jnp.float32):
-        return jnp.full(shape, value, dtype)
-
-    return init
-
-
-class _GraphOpParams(nn.Module):
-    """Learnable parameters of one GLR/GTV graph operator: the metric
-    diagonal and the polynomial-stencil mixing coefficients (reference
-    GLRFast/GTVFast __init__, v1x0.py:56-125)."""
-
-    n_graphs: int
-    n_node_fts: int
-    m_diag_init: float = 1.0
-    with_stats: bool = True
-
-    def setup(self):
-        g, f = self.n_graphs, self.n_node_fts
-        self.multi_m = self.param("multiM", _const_init(self.m_diag_init), (g, f))
-        if self.with_stats:
-            # stored (G, F) to mirror the reference's per-channel (C,1,1,1)
-            # coefficients; flattened to (C,) at use sites.
-            self._stats = {
-                "p01": self.param("stats_p01", _const_init(1.0), (g, f)),
-                "p02a": self.param("stats_p02a", _const_init(0.5), (g, f)),
-                "p02b": self.param("stats_p02b", _const_init(0.5), (g, f)),
-                "p03": self.param("stats_p03", _const_init(0.5), (g, f)),
-            }
-        else:
-            self._stats = None
-
-    @property
-    def stats(self):
-        if self._stats is None:
-            return None
-        return {k: v.reshape(-1) for k, v in self._stats.items()}
-
-    def __call__(self):  # params-only module
-        raise NotImplementedError
+from irdu_tpu.solvers.common import GraphOpParams, const_init as _const_init
 
 
 class MixtureGTVGLR(nn.Module):
@@ -96,6 +57,10 @@ class MixtureGTVGLR(nn.Module):
     ro_init: Sequence[float] = (0.0001, 0.0001)
     gamma_init: Sequence[float] = (0.0001, 0.0001)
     window: str = "cross4"
+    stats_mode: str = "per_channel"  # "scalar" / "none" for older variants
+    feature_head: str = "pointwise"  # "nonlinear3" = 3 LocalNonLinearBlocks
+    # + 1x1 expand (the no_latent_no_mixture GTVGLR head,
+    # model_GLR_GTV_deep_v13_no_latent_no_mixture.py:612-697)
     n_cgd_iters: int = 3  # fixed in the reference (v1x0.py:544)
 
     def setup(self):
@@ -106,11 +71,20 @@ class MixtureGTVGLR(nn.Module):
         self.alpha_cgd = self.param("alphaCGD", _const_init(self.alpha_init), (self.n_cgd_iters, g))
         self.beta_cgd = self.param("betaCGD", _const_init(self.beta_init), (self.n_cgd_iters, g))
 
-        # full-res feature head: 1×1 conv C -> 2C, no bias (v1x0.py:556-566)
-        self.feat00 = GroupedPointwise(features=2 * c, name="patchs_features_extraction00")
-        # half-res head: 2×2 stride-2 conv C -> C, then 1×1 C -> 2C (v1x0.py:593-612)
-        self.feat01_down = Downsample2x2(features=c, name="patchs_features_extraction01_down")
-        self.feat01_point = GroupedPointwise(features=2 * c, name="patchs_features_extraction01_point")
+        if self.feature_head == "pointwise":
+            # full-res head: 1×1 conv C -> 2C, no bias (v1x0.py:556-566)
+            self.feat00 = GroupedPointwise(features=2 * c, name="patchs_features_extraction00")
+            # half-res head: 2×2 stride-2 conv C -> C, then 1×1 C -> 2C (v1x0.py:593-612)
+            self.feat01_down = Downsample2x2(features=c, name="patchs_features_extraction01_down")
+            self.feat01_point = GroupedPointwise(features=2 * c, name="patchs_features_extraction01_point")
+        elif self.feature_head == "nonlinear3":
+            from irdu_tpu.solvers.ablation_solvers import _NonLinearHead
+
+            self.feat00 = _NonLinearHead(c, 2 * c, name="patchs_features_extraction00")
+            self.feat01_down = Downsample2x2(features=c, name="patchs_features_extraction01_down")
+            self.feat01_point = _NonLinearHead(c, 2 * c, name="patchs_features_extraction01_head")
+        else:
+            raise ValueError(self.feature_head)
 
         # log-parameterized positive weights (the v12→v13 change)
         self.ro00 = self.param("ro00", _const_init(float(np.log(self.ro_init[0]))), (g,))
@@ -120,10 +94,10 @@ class MixtureGTVGLR(nn.Module):
         self.muys00 = self.param("muys00", _const_init(float(np.log(self.muy_init[0]))), (g,))
         self.muys01 = self.param("muys01", _const_init(float(np.log(self.muy_init[1]))), (g,))
 
-        self.gtv00 = _GraphOpParams(g, self.n_node_fts, name="GTVmodule00")
-        self.glr00 = _GraphOpParams(g, self.n_node_fts, name="GLRmodule00")
-        self.gtv01 = _GraphOpParams(g, self.n_node_fts, name="GTVmodule01")
-        self.glr01 = _GraphOpParams(g, self.n_node_fts, name="GLRmodule01")
+        self.gtv00 = GraphOpParams(g, self.n_node_fts, stats_mode=self.stats_mode, name="GTVmodule00")
+        self.glr00 = GraphOpParams(g, self.n_node_fts, stats_mode=self.stats_mode, name="GLRmodule00")
+        self.gtv01 = GraphOpParams(g, self.n_node_fts, stats_mode=self.stats_mode, name="GTVmodule01")
+        self.glr01 = GraphOpParams(g, self.n_node_fts, stats_mode=self.stats_mode, name="GLRmodule01")
 
     # -- helpers ---------------------------------------------------------
 

@@ -1,0 +1,169 @@
+"""Pixel-domain mixture GTV+GLR solver (the v1–v8 model family).
+
+Behavioural re-implementation of `MixtureGTV`
+(/root/reference/exploration/model_multiscale_mixture_GLR/lib/
+model_GLR_GTV_deep_v6.py:802-1016): the 3-channel image is replicated
+across `n_graphs` mixture hypotheses, a Restormer-style FFBlock U-Net
+predicts edge-weight features plus 12 DC channels, the unrolled solve
+runs 2 ADMM rounds × 2 CG steps on a *single* scale, and the hypotheses
+are combined by a learned softmax score.
+
+Faithful quirks:
+  * μ (muys00) and ρ (ro00) are raw (not log) parameters — only γ is
+    log-parameterised (v6:862-886; the log-everything change is v12+);
+  * the bias accumulates across rounds (b += Cx − ε) and the CG restart
+    at round 2 re-initialises the iterate to the new RHS (v6:995);
+  * β[0] and β[2] are unused (only β[1], β[3] enter the updates);
+  * the stats stencils use scalar coefficients and REFLECT padding
+    (v6:456), unlike the flagship's per-channel/replicate.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from irdu_tpu.models.restormer_blocks import FeatureExtraction, GatedDConvBlock
+from irdu_tpu.models.layers import GroupedPointwise
+from irdu_tpu.ops.graph import (
+    extract_edge_weights,
+    glr_apply,
+    gtv_apply,
+    op_c,
+    op_c_transpose,
+    per_graph_scale,
+    soft_threshold,
+)
+from irdu_tpu.ops.windows import WINDOWS
+from irdu_tpu.solvers.common import GraphOpParams, const_init
+
+N_DC_CHANNELS = 12  # learned DC/low-frequency term channels (v6:840, 860)
+
+
+class MixtureGTV(nn.Module):
+    """Input/output (B, H, W, 3); H, W divisible by 4 (feature U-Net)."""
+
+    nchannels_in: int = 3
+    n_graphs: int = 24
+    n_node_fts: int = 3
+    n_cnn_fts: int = 72
+    window: str = "diamond12"
+    n_cgd_iters: int = 4
+    alpha_init: float = 0.5
+    beta_init: float = 0.1
+    muy_init: Sequence[float] = (0.1, 0.0, 0.0, 0.0)
+    ro_init: Sequence[float] = (0.1, 0.0, 0.0, 0.0)
+    gamma_init: Sequence[float] = (0.001, 0.0, 0.0, 0.0)
+    feature_num_blocks: Sequence[int] = (2, 3, 3, 4)
+    feature_num_refinement: int = 4
+    ffn_expansion_factor: float = 2.6666
+
+    def setup(self):
+        if self.n_cgd_iters != 4:
+            raise NotImplementedError(
+                "the reference unroll is fixed at 4 CG iterations (2 ADMM rounds)"
+            )
+        g = self.n_graphs
+        self.deltas = WINDOWS[self.window]
+        self.n_total_fts = g * self.n_node_fts
+
+        self.alpha_cgd = self.param("alphaCGD", const_init(self.alpha_init), (self.n_cgd_iters, g))
+        self.beta_cgd = self.param("betaCGD", const_init(self.beta_init), (self.n_cgd_iters, g))
+
+        self.features = FeatureExtraction(
+            out_channels=self.n_total_fts + N_DC_CHANNELS,
+            dim=self.n_cnn_fts,
+            num_blocks=self.feature_num_blocks,
+            num_refinement_blocks=self.feature_num_refinement,
+            ffn_expansion_factor=self.ffn_expansion_factor,
+            name="patchs_features_extraction",
+        )
+        self.combination_weight = GroupedPointwise(
+            features=g, name="combination_weight")
+        self.dc_estimator = GatedDConvBlock(
+            dim_out=self.nchannels_in, hidden_features=N_DC_CHANNELS * 2,
+            name="dc_estimator")
+
+        # raw μ/ρ, log γ (v6:862-886)
+        self.ro00 = self.param("ro00", const_init(float(self.ro_init[0])), (g,))
+        self.muys00 = self.param("muys00", const_init(float(self.muy_init[0])), (g,))
+        self.gamma00 = self.param("gamma00", const_init(float(np.log(self.gamma_init[0]))), (g,))
+
+        self.gtv00 = GraphOpParams(g, self.n_node_fts, stats_mode="scalar", name="GTVmodule00")
+        self.glr00 = GraphOpParams(g, self.n_node_fts, stats_mode="scalar", name="GLRmodule00")
+
+    def _system_matvec(self, x, w_gtv, w_glr):
+        """A = I + μ·GLR + ρ·GTV, single scale (v6:892-911)."""
+        d, g = self.deltas, self.n_graphs
+        out = x
+        out = out + per_graph_scale(
+            glr_apply(x, w_glr, d, g, self.glr00.stats, "reflect"), self.muys00)
+        out = out + per_graph_scale(
+            gtv_apply(x, w_gtv, d, g, self.gtv00.stats, "reflect"), self.ro00)
+        return out
+
+    def _rhs(self, y_tiled, eps_minus_bias, w_gtv):
+        d, g = self.deltas, self.n_graphs
+        ct = op_c_transpose(eps_minus_bias, w_gtv, d, g, self.gtv00.stats)
+        return per_graph_scale(ct, self.ro00) + y_tiled
+
+    def _pg(self, vec, i):
+        return jnp.repeat(vec[i], self.n_node_fts)
+
+    def __call__(self, patchs: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = patchs.shape
+        d, g = self.deltas, self.n_graphs
+
+        feats = self.features(patchs)
+        ew_feats = feats[..., : self.n_total_fts]
+        dc_feats = feats[..., self.n_total_fts:]
+
+        w_gtv, _ = extract_edge_weights(ew_feats, self.gtv00.multi_m, d, g)
+        w_glr, _ = extract_edge_weights(ew_feats, self.glr00.multi_m, d, g)
+
+        dc_term = self.dc_estimator(dc_feats)
+        y_tilde = patchs - dc_term
+        # replicate across graphs: (B,H,W,G·3)
+        y_tiled = jnp.tile(y_tilde, (1, 1, 1, g))
+
+        gamma_c = jnp.repeat(jnp.exp(self.gamma00), self.n_node_fts)
+
+        # round 1: ε = C·ỹ, bias = 0
+        eps = op_c(y_tiled, w_gtv, d, g, self.gtv00.stats, "reflect")
+        bias = tuple(jnp.zeros_like(e) for e in eps)
+        rhs = self._rhs(y_tiled, eps, w_gtv)
+
+        out = rhs
+        res = rhs - self._system_matvec(out, w_gtv, w_glr)
+        update = res
+        out = out + self._pg(self.alpha_cgd, 0) * update
+        res = rhs - self._system_matvec(out, w_gtv, w_glr)
+        update = res + self._pg(self.beta_cgd, 1) * update
+        out = out + self._pg(self.alpha_cgd, 1) * update
+
+        # ADMM re-threshold with accumulating bias (v6:983-989)
+        cx = op_c(out, w_gtv, d, g, self.gtv00.stats, "reflect")
+        eps = tuple(soft_threshold(cx_e + b_e, gamma_c) for cx_e, b_e in zip(cx, bias))
+        bias = tuple(b_e + (cx_e - e_e) for b_e, cx_e, e_e in zip(bias, cx, eps))
+        rhs = self._rhs(
+            y_tiled, tuple(e_e - b_e for e_e, b_e in zip(eps, bias)), w_gtv)
+
+        # round 2: CG restart from the new RHS (v6:995)
+        out = rhs
+        res = rhs - self._system_matvec(out, w_gtv, w_glr)
+        update = res
+        out = out + self._pg(self.alpha_cgd, 2) * update
+        res = rhs - self._system_matvec(out, w_gtv, w_glr)
+        update = res + self._pg(self.beta_cgd, 3) * update
+        out = out + self._pg(self.alpha_cgd, 3) * update
+
+        # mixture combination: softmax score over graphs (v6:850-858, 1011)
+        logits = self.combination_weight(ew_feats)  # (B,H,W,G)
+        score = jax.nn.softmax(logits, axis=-1)
+        out_g = out.reshape(b, h, w, g, self.nchannels_in)
+        combined = jnp.sum(out_g * score[..., None], axis=3)
+        return combined + dc_term

@@ -14,6 +14,20 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _n_decays(step, milestones: Sequence[int]):
+    """Count of passed milestones, built from scalar comparisons only.
+
+    Deliberately avoids a jnp milestone array: array-valued closure
+    constants in a grad graph trigger a pathological (minutes-long)
+    compile in this environment's TPU compiler, while scalar constants
+    are fine (measured: 0.5s vs 200-640s for otherwise identical HLO).
+    """
+    n = jnp.zeros((), jnp.float32)
+    for m in sorted(milestones):
+        n = n + (jnp.asarray(step) >= m).astype(jnp.float32)
+    return n
+
+
 def multistep_then_cosine(
     base_lr: float,
     milestones: Sequence[int],
@@ -23,12 +37,9 @@ def multistep_then_cosine(
     cosine_t_max: int,
     eta_min: float,
 ):
-    milestones_arr = jnp.asarray(np.array(sorted(milestones), dtype=np.int32))
-
     def schedule(step):
         step = jnp.asarray(step)
-        n_decays = jnp.sum(step >= milestones_arr)
-        lr_multi = base_lr * gamma ** n_decays.astype(jnp.float32)
+        lr_multi = base_lr * gamma ** _n_decays(step, milestones)
         t = jnp.maximum(step - switch_step, 0).astype(jnp.float32)
         lr_cos = eta_min + (cosine_base_lr - eta_min) * 0.5 * (
             1.0 + jnp.cos(jnp.pi * t / cosine_t_max)
@@ -53,10 +64,8 @@ def flagship_lr_schedule():
 def multistep_schedule(base_lr: float, milestones: Sequence[int], gamma: float):
     """The pixel-domain family scheme (scripts/run_lightformer_*: MultiStepLR
     [200k, 500k, 650k] ×0.5)."""
-    milestones_arr = jnp.asarray(np.array(sorted(milestones), dtype=np.int32))
 
     def schedule(step):
-        n = jnp.sum(jnp.asarray(step) >= milestones_arr)
-        return base_lr * gamma ** n.astype(jnp.float32)
+        return base_lr * gamma ** _n_decays(step, milestones)
 
     return schedule

@@ -31,7 +31,9 @@ class TrainState(train_state.TrainState):
 
 
 def create_train_state(model, rng, example_input, schedule, *, eps: float = 1e-8):
-    params = model.init(rng, example_input)
+    # jit the init: eager-mode init dispatches hundreds of tiny ops, which is
+    # minutes-slow through a remote-compile TPU backend.
+    params = jax.jit(model.init)(rng, example_input)
     tx = optax.adam(learning_rate=schedule, eps=eps)
     return TrainState.create(apply_fn=model.apply, params=params, tx=tx)
 
