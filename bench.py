@@ -23,26 +23,35 @@ BASELINE_MP_PER_S = 0.71
 def main():
     from irdu_tpu.models.flagship import AbstractMultiScaleGraphFilter, flagship_config
 
-    model = AbstractMultiScaleGraphFilter(**flagship_config())
+    # inference config: bf16 params/activations + fused Pallas blocks
+    model = AbstractMultiScaleGraphFilter(use_pallas_blocks=True, **flagship_config())
 
     h = w = 512
     batch = 1
-    x = jnp.asarray(np.random.RandomState(0).rand(batch, h, w, 3).astype(np.float32))
-    params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    x32 = jnp.asarray(np.random.RandomState(0).rand(batch, h, w, 3).astype(np.float32))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x32)
+    params = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16), params)
+    x = x32.astype(jnp.bfloat16)
 
     fwd = jax.jit(model.apply)
     fwd(params, x).block_until_ready()  # compile + warmup
 
+    # data-dependent chaining defeats async-dispatch mirages (a free-running
+    # dispatch loop "measures" >1000 MP/s through the remote tunnel; real
+    # per-frame latency is what users see), block once at the end.
     n_iters = 10
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        y = fwd(params, x)
-    y.block_until_ready()
-    dt = time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(3):
+        z = x
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            z = fwd(params, z)
+        z.block_until_ready()
+        best = min(best, (time.perf_counter() - t0) / n_iters)
 
-    mp_per_s = (batch * h * w * n_iters) / dt / 1e6
+    mp_per_s = (batch * h * w) / best / 1e6
     print(json.dumps({
-        "metric": "flagship_lgu_inference_512x512_fp32",
+        "metric": "flagship_lgu_inference_512x512_bf16_pallas",
         "value": round(mp_per_s, 3),
         "unit": "megapixels/sec/chip",
         "vs_baseline": round(mp_per_s / BASELINE_MP_PER_S, 2),

@@ -27,10 +27,15 @@ def _const_pair(v0: float, v1: float):
 class CustomLayerNorm(nn.Module):
     """Per-subnet variance normalisation + learned per-channel scale
     (reference CustomLayerNorm, v1x0.py:911-925). Uses the *unbiased*
-    variance (torch ``var(correction=1)``) and no mean subtraction."""
+    variance (torch ``var(correction=1)``) and no mean subtraction.
+
+    conv_variant: "plain" | "spectral_norm" (v21: the depthwise scale is
+    spectral-normed, i.e. divided by its L2 norm) | "non_expansive" (v20:
+    scale gain-bounded by tanh(1/(|w|·s)))."""
 
     nchannels: int
     nsubnets: int = 1
+    conv_variant: str = "plain"
 
     @nn.compact
     def __call__(self, x):
@@ -43,7 +48,14 @@ class CustomLayerNorm(nn.Module):
         xg = xg / jnp.sqrt(var + 1e-5)
         x = xg.reshape(b, h, w, c)
         scale = self.param("weighted_transform", torch_conv_init(1), (c,))
-        return x * scale
+        if self.conv_variant == "spectral_norm":
+            scale = scale / jnp.maximum(jnp.linalg.norm(scale), 1e-12)
+        y = x * scale
+        if self.conv_variant == "non_expansive":
+            from irdu_tpu.models.layers import non_expansive_scale
+
+            y = y * non_expansive_scale(self, jnp.abs(scale), c)
+        return y
 
 
 class LocalGatedLinearBlock(nn.Module):
@@ -53,34 +65,72 @@ class LocalGatedLinearBlock(nn.Module):
     dim: int
     hidden_dim: int
     nsubnets: int = 1
+    conv_variant: str = "plain"
 
     @nn.compact
     def __call__(self, x):
         h2 = self.hidden_dim * 2
         x = GroupedPointwise(features=h2, groups=self.nsubnets,
+                             variant=self.conv_variant,
                              name="channels_linear_op")(x)
         x = Conv3x3Replicate(features=h2, groups=h2,
+                             variant=self.conv_variant,
                              name="channels_local_linear_op")(x)
         mask, x = jnp.split(x, 2, axis=-1)
         x = nn.sigmoid(mask) * mask * x
         return GroupedPointwise(features=self.dim, groups=self.nsubnets,
+                                variant=self.conv_variant,
                                 name="project_out")(x)
 
 
 class LocalNonLinearBlock(nn.Module):
     """norm → gated block with a learnable 2-way skip
-    (reference LocalNonLinearBlock, v1x0.py:951-964)."""
+    (reference LocalNonLinearBlock, v1x0.py:951-964).
+
+    use_pallas: route inference through the fused single-HBM-pass Pallas
+    kernel (ops.pallas.gated_block; ~1.8× over the XLA path on v5e).
+    Params are identical either way; the jnp path remains authoritative
+    (used during init, for training/autodiff, and for unsupported shapes
+    or variants)."""
 
     dim: int
     hidden_dim: int
     nsubnets: int = 1
+    conv_variant: str = "plain"
+    use_pallas: bool = False
 
-    @nn.compact
+    def setup(self):
+        self.skip_weight = self.param("skip_weight", _const_pair(1.0, 1.0), (2,))
+        self.norm = CustomLayerNorm(self.dim, self.nsubnets,
+                                    conv_variant=self.conv_variant, name="norm")
+        self.local_linear = LocalGatedLinearBlock(
+            self.dim, self.hidden_dim, self.nsubnets,
+            conv_variant=self.conv_variant, name="local_linear")
+
     def __call__(self, x):
-        sw = self.param("skip_weight", _const_pair(1.0, 1.0), (2,))
-        y = CustomLayerNorm(self.dim, self.nsubnets, name="norm")(x)
-        y = LocalGatedLinearBlock(self.dim, self.hidden_dim, self.nsubnets,
-                                  name="local_linear")(y)
+        eligible = (
+            self.use_pallas
+            and not self.is_initializing()
+            and self.nsubnets == 1
+            and self.conv_variant == "plain"
+            and x.shape[1] % 8 == 0
+            and x.shape[2] % 8 == 0
+        )
+        if eligible:
+            from irdu_tpu.ops.pallas.gated_block import fused_gated_block
+
+            p_norm = self.norm.variables["params"]
+            p_gl = self.local_linear.variables["params"]
+            return fused_gated_block(
+                x,
+                p_norm["weighted_transform"],
+                p_gl["channels_linear_op"]["kernel"],
+                p_gl["channels_local_linear_op"]["kernel"][:, :, 0, :],
+                p_gl["project_out"]["kernel"],
+                self.skip_weight,
+            )
+        sw = self.skip_weight
+        y = self.local_linear(self.norm(x))
         return sw[0] * x + sw[1] * y
 
 
@@ -89,10 +139,11 @@ class RegionalPixelEmbedding(nn.Module):
     v1x0.py:992-1005)."""
 
     dim: int = 48
+    conv_variant: str = "plain"
 
     @nn.compact
     def __call__(self, x):
-        return Conv3x3Replicate(features=self.dim,
+        return Conv3x3Replicate(features=self.dim, variant=self.conv_variant,
                                 name="channels_local_linear_op01")(x)
 
 

@@ -39,20 +39,33 @@ class AbstractMultiScaleGraphFilter(nn.Module):
     num_blocks: Sequence[int] = (4, 6, 6, 8)
     num_blocks_out: int = 4
     window: str = "cross4"
+    # "plain" | "non_expansive" (v20: every encoder/decoder conv gain-
+    # bounded) | "spectral_norm" (v21: every encoder/decoder conv
+    # spectral-normalized). The solver's feature heads stay plain, as in
+    # the reference (v20/v21 only swap the encoder/decoder convs).
+    conv_variant: str = "plain"
+    # inference-only: run encoder/decoder blocks through the fused Pallas
+    # kernel (ops/pallas/gated_block.py)
+    use_pallas_blocks: bool = False
 
     def setup(self):
         d, hd, ns = self.dims, self.hidden_dims, self.nsubnets
+        cv = self.conv_variant
+        up = self.use_pallas_blocks
 
-        self.patch_3x3_embeding = RegionalPixelEmbedding(d[0])
+        self.patch_3x3_embeding = RegionalPixelEmbedding(d[0], conv_variant=cv)
         self.encoder_scales = [
             [
-                LocalNonLinearBlock(d[s], hd[s], ns[s], name=f"encoder_scale_{s:02d}_{i}")
+                LocalNonLinearBlock(d[s], hd[s], ns[s], conv_variant=cv,
+                                    use_pallas=up,
+                                    name=f"encoder_scale_{s:02d}_{i}")
                 for i in range(self.num_blocks[s])
             ]
             for s in range(4)
         ]
         self.down_samples = [
-            Downsample2x2(d[s + 1], groups=ns[s], name=f"down_sample_{s:02d}_{s + 1:02d}")
+            Downsample2x2(d[s + 1], groups=ns[s], variant=cv,
+                          name=f"down_sample_{s:02d}_{s + 1:02d}")
             for s in range(3)
         ]
 
@@ -65,26 +78,32 @@ class AbstractMultiScaleGraphFilter(nn.Module):
         ]
 
         self.up_samples = [
-            Upsample2x2(d[s], groups=ns[s + 1], name=f"up_sample_{s + 1:02d}_{s:02d}")
+            Upsample2x2(d[s], groups=ns[s + 1], variant=cv,
+                        name=f"up_sample_{s + 1:02d}_{s:02d}")
             for s in range(3)
         ]
         self.combine_channels = [
-            GroupedPointwise(features=d[s], groups=ns[s], name=f"combine_channels_{s:02d}")
+            GroupedPointwise(features=d[s], groups=ns[s], variant=cv,
+                             name=f"combine_channels_{s:02d}")
             for s in range(3)
         ]
         self.decoder_scales = [
             [
-                LocalNonLinearBlock(d[s], hd[s], ns[s], name=f"decoder_scale_{s:02d}_{i}")
+                LocalNonLinearBlock(d[s], hd[s], ns[s], conv_variant=cv,
+                                    use_pallas=up,
+                                    name=f"decoder_scale_{s:02d}_{i}")
                 for i in range(self.num_blocks[s])
             ]
             for s in range(3)
         ]
         self.refining_block = [
-            LocalNonLinearBlock(d[0], hd[0], ns[0], name=f"refining_block_{i}")
+            LocalNonLinearBlock(d[0], hd[0], ns[0], conv_variant=cv,
+                                use_pallas=up,
+                                name=f"refining_block_{i}")
             for i in range(self.num_blocks_out)
         ]
         self.linear_output = GroupedPointwise(features=self.n_channels_out,
-                                              name="linear_output")
+                                              variant=cv, name="linear_output")
 
     def encode(self, img: jnp.ndarray):
         """4-scale encoder; returns the per-scale codes (reference encode,

@@ -18,6 +18,39 @@ import numpy as np
 from flax import linen as nn
 
 
+def spectral_normalize(module: nn.Module, kernel: jnp.ndarray, name: str) -> jnp.ndarray:
+    """Spectral normalisation of a conv kernel (the v21 variant: every
+    encoder/decoder conv wrapped in torch spectral_norm,
+    model_GLR_GTV_deep_v21.py:941-1124). Output features are the LAST axis
+    of our kernels; the matricization is (O, everything-else), whose top
+    singular value σ is estimated by one power iteration on a persistent
+    u vector (collection "spectral"); the kernel is used as W/σ."""
+    o = kernel.shape[-1]
+    mat = jnp.moveaxis(kernel, -1, 0).reshape(o, -1)
+    u_var = module.variable(
+        "spectral", f"{name}_u",
+        lambda: jax.random.normal(jax.random.PRNGKey(0), (o,)) / np.sqrt(o),
+    )
+    u = u_var.value
+    v = mat.T @ u
+    v = v / jnp.maximum(jnp.linalg.norm(v), 1e-12)
+    wv = mat @ v
+    sigma = jnp.maximum(jnp.vdot(u, wv), 1e-12)
+    if not module.is_initializing() and module.is_mutable_collection("spectral"):
+        u_var.value = wv / jnp.maximum(jnp.linalg.norm(wv), 1e-12)
+    return kernel / sigma
+
+
+def non_expansive_scale(module: nn.Module, x_ones_out: jnp.ndarray,
+                        features: int, scaling_init: float = 1.0) -> jnp.ndarray:
+    """The v20 CustomNonExpansiveCNN gain bound
+    (model_GLR_GTV_deep_v20.py:911-933): scale = tanh(1/(|W|∗1 · s + 1e-16))
+    where |W|∗1 is the same conv applied with |kernel| to a ones input
+    (passed in as x_ones_out); s is a learned per-output-channel factor."""
+    s = module.param("scaling_factor", lambda key, shape: jnp.ones(shape), (features,))
+    return jnp.tanh(1.0 / (x_ones_out * s + 1e-16))
+
+
 def torch_conv_init(fan_in: int):
     """torch Conv2d default: kaiming_uniform(a=√5) ⇒ U(−1/√fan_in, 1/√fan_in),
     fan_in = (in_channels/groups)·kh·kw."""
@@ -66,11 +99,14 @@ def conv2d_nhwc(x: jnp.ndarray, kernel: jnp.ndarray, *, stride: int = 1,
 
 class GroupedPointwise(nn.Module):
     """1×1 conv with channel groups (torch Conv2d kernel_size=1, groups=g,
-    bias=False), as a blocked einsum — a batched matmul on the MXU."""
+    bias=False), as a blocked einsum — a batched matmul on the MXU.
+
+    variant: "plain" | "spectral_norm" (v21) | "non_expansive" (v20)."""
 
     features: int
     groups: int = 1
     use_bias: bool = False
+    variant: str = "plain"
 
     @nn.compact
     def __call__(self, x):
@@ -79,25 +115,37 @@ class GroupedPointwise(nn.Module):
         kernel = self.param(
             "kernel", torch_conv_init(c_in // g), (c_in, self.features // g)
         )
-        if g == 1:
-            y = jnp.einsum("...i,io->...o", x, kernel)
-        else:
-            xg = x.reshape(*x.shape[:-1], g, c_in // g)
-            kg = kernel.reshape(g, c_in // g, self.features // g)
+        if self.variant == "spectral_norm":
+            kernel = spectral_normalize(self, kernel, "kernel")
+
+        def apply_kernel(inp, kern):
+            if g == 1:
+                return jnp.einsum("...i,io->...o", inp, kern)
+            xg = inp.reshape(*inp.shape[:-1], g, c_in // g)
+            kg = kern.reshape(g, c_in // g, self.features // g)
             y = jnp.einsum("...gi,gio->...go", xg, kg)
-            y = y.reshape(*x.shape[:-1], self.features)
+            return y.reshape(*inp.shape[:-1], self.features)
+
+        y = apply_kernel(x, kernel)
         if self.use_bias:
             bias = self.param("bias", torch_conv_init(c_in // g), (self.features,))
             y = y + bias
+        if self.variant == "non_expansive":
+            norm = apply_kernel(jnp.ones_like(x), jnp.abs(kernel))
+            y = y * non_expansive_scale(self, norm, self.features)
         return y
 
 
 class Conv3x3Replicate(nn.Module):
-    """3×3 stride-1 conv with replicate padding (torch padding_mode="replicate")."""
+    """3×3 stride-1 conv with replicate padding (torch padding_mode="replicate").
+
+    variant: "plain" | "spectral_norm" (v21) | "non_expansive" (v20; the
+    |W|∗1 norm map is spatially constant under replicate padding)."""
 
     features: int
     groups: int = 1
     use_bias: bool = False
+    variant: str = "plain"
 
     @nn.compact
     def __call__(self, x):
@@ -107,10 +155,21 @@ class Conv3x3Replicate(nn.Module):
             "kernel", torch_conv_init(fan_in),
             (3, 3, c_in // self.groups, self.features),
         )
+        if self.variant == "spectral_norm":
+            kernel = spectral_normalize(self, kernel, "kernel")
         y = conv2d_nhwc(replicate_pad(x, 1), kernel, groups=self.groups)
         if self.use_bias:
             bias = self.param("bias", torch_conv_init(fan_in), (self.features,))
             y = y + bias
+        if self.variant == "non_expansive":
+            # replicate-padded ones are ones: the norm map is Σ|W| per
+            # output channel, constant over space
+            norm = jnp.sum(jnp.abs(kernel), axis=(0, 1))  # (I/g, F)
+            if self.groups == 1:
+                norm = jnp.sum(norm, axis=0)
+            else:
+                norm = jnp.sum(norm, axis=0)  # depthwise: I/g = 1 anyway
+            y = y * non_expansive_scale(self, norm, self.features)
         return y
 
 
@@ -123,6 +182,7 @@ class Downsample2x2(nn.Module):
 
     features: int
     groups: int = 1
+    variant: str = "plain"
 
     @nn.compact
     def __call__(self, x):
@@ -130,9 +190,15 @@ class Downsample2x2(nn.Module):
         g = self.groups
         fan_in = (c_in // g) * 4
         kernel = self.param("kernel", torch_conv_init(fan_in), (4 * c_in, self.features // g))
+        if self.variant == "spectral_norm":
+            kernel = spectral_normalize(self, kernel, "kernel")
         xs = space_to_depth(x)  # (B, h, w, 4*c_in) block order (a,b,c)
         if g == 1:
-            return jnp.einsum("...i,io->...o", xs, kernel)
+            y = jnp.einsum("...i,io->...o", xs, kernel)
+            if self.variant == "non_expansive":
+                norm = jnp.sum(jnp.abs(kernel), axis=0)
+                y = y * non_expansive_scale(self, norm, self.features)
+            return y
         # group structure: channel c of x belongs to group c // (c_in/g);
         # after s2d the layout is (a,b,c) so regroup explicitly.
         b, h, w, _ = xs.shape
@@ -152,6 +218,7 @@ class Upsample2x2(nn.Module):
 
     features: int
     groups: int = 1
+    variant: str = "plain"
 
     @nn.compact
     def __call__(self, x):
@@ -160,9 +227,17 @@ class Upsample2x2(nn.Module):
         # torch conv_transpose init fan_in uses the *output* side: O/g·kh·kw
         fan_in = (self.features // g) * 4
         kernel = self.param("kernel", torch_conv_init(fan_in), (c_in, 4 * self.features // g))
+        if self.variant == "spectral_norm":
+            kernel = spectral_normalize(self, kernel, "kernel")
         if g == 1:
             y = jnp.einsum("...i,io->...o", x, kernel)  # (B,h,w,4F) order (a,b,oc)
-            return depth_to_space(y)
+            y = depth_to_space(y)
+            if self.variant == "non_expansive":
+                # per-phase |W| column sums, upsampled to the output grid
+                norm = jnp.sum(jnp.abs(kernel), axis=0).reshape(1, 1, 1, -1)
+                norm = depth_to_space(jnp.broadcast_to(norm, (x.shape[0], x.shape[1], x.shape[2], norm.shape[-1])))
+                y = y * non_expansive_scale(self, norm, self.features)
+            return y
         b, h, w, _ = x.shape
         xg = x.reshape(b, h, w, g, c_in // g)
         kg = kernel.reshape(g, c_in // g, 4 * self.features // g)

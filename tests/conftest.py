@@ -21,6 +21,17 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache: CPU-XLA compiles of stencil-heavy train steps
+# take minutes; cache them across test runs/processes.
+_CACHE_DIR = os.path.join(os.path.dirname(__file__), "..", ".cache", "jax_compilation")
+os.makedirs(_CACHE_DIR, exist_ok=True)
+try:
+    jax.config.update("jax_compilation_cache_dir", os.path.abspath(_CACHE_DIR))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+except Exception:
+    pass
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -1,0 +1,109 @@
+"""End-to-end trainer: config-driven run on a synthetic corpus (tiny model,
+few steps), checkpoint auto-resume, schedules."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from irdu_tpu.data.synthetic import write_synthetic_corpus
+from irdu_tpu.train.schedules import flagship_lr_schedule, multistep_schedule
+from irdu_tpu.train.trainer import Trainer
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("traincorpus")
+    csv_path = write_synthetic_corpus(str(root), n_images=4, size_range=(70, 100), seed=7)
+    return str(root), csv_path
+
+
+def _config(root, csv_path, workroot, max_steps=4):
+    return {
+        "name": "tiny_e2e",
+        "task": "denoise",
+        "manual_seed": 7,
+        "path": {"root_dir": workroot},
+        "model": {
+            "type": "abstract_multiscale_graph_filter",
+            "dims": [8, 12, 16, 24],
+            "hidden_dims": [16, 24, 32, 48],
+            "ngraphs": [2, 2, 4, 4],
+            "num_blocks": [1, 1, 1, 1],
+            "num_blocks_out": 1,
+        },
+        "parallel": {"data_parallel": 1},
+        "datasets": {
+            "train": {
+                "csv_path": csv_path,
+                "root_folder": root,
+                "dist_mode": "addictive_noise_scale",
+                "lambda_noise": 25.0,
+                "use_data_aug": True,
+                "seed": 2204,
+            }
+        },
+        "train": {
+            "num_epochs": 1,
+            "stages": [{"patch_size": 32, "batch_size": 2, "max_num_patchs": 20}],
+            "schedule": {"type": "constant", "base_lr": 1e-4},
+            "use_aux_losses": True,
+            "verbose_rate": 2,
+            "checkpoint_rate": 2,
+            "eval_rate": 0,
+            "max_steps": max_steps,
+        },
+    }
+
+
+def test_trainer_runs_and_resumes(corpus, tmp_path):
+    root, csv_path = corpus
+    conf = _config(root, csv_path, str(tmp_path))
+
+    trainer = Trainer(conf)
+    out = trainer.run()
+    assert out["step"] == 4
+    ckpt_dir = os.path.join(trainer.workdir, "checkpoints")
+    assert os.path.isdir(ckpt_dir)
+
+    # fresh trainer auto-resumes from the saved step
+    trainer2 = Trainer(conf)
+    assert int(trainer2.state.step) == 4
+    conf2 = dict(conf)
+    conf2["train"] = {**conf["train"], "max_steps": 6}
+    trainer3 = Trainer(conf2)
+    out = trainer3.run()
+    assert out["step"] == 6
+
+
+def test_trainer_dp_mesh(corpus, tmp_path):
+    """Data-parallel trainer over the 8-device CPU mesh: one step, batch
+    sharded, params replicated."""
+    root, csv_path = corpus
+    conf = _config(root, csv_path, str(tmp_path), max_steps=1)
+    conf["name"] = "tiny_dp"
+    conf["parallel"] = {"data_parallel": 8}
+    conf["train"]["stages"] = [{"patch_size": 32, "batch_size": 8, "max_num_patchs": 16}]
+    trainer = Trainer(conf)
+    out = trainer.run()
+    assert out["step"] == 1
+
+
+def test_flagship_schedule_values():
+    sched = flagship_lr_schedule()
+    np.testing.assert_allclose(float(sched(0)), 4e-4, rtol=1e-6)
+    # after 3 decays at 150k: 4e-4 · (0.5^0.25)^3
+    np.testing.assert_allclose(
+        float(sched(150_000)), 4e-4 * 0.5 ** (3 / 4), rtol=1e-5)
+    # at the switch: cosine from 5e-5
+    np.testing.assert_allclose(float(sched(600_000)), 5e-5, rtol=1e-5)
+    # far into cosine
+    t = 600_000 + 701_000
+    np.testing.assert_allclose(float(sched(t)), 1e-6, rtol=1e-2)
+
+    ms = multistep_schedule(6e-4, [200_000, 500_000, 650_000], 0.5)
+    np.testing.assert_allclose(float(ms(199_999)), 6e-4, rtol=1e-6)
+    np.testing.assert_allclose(float(ms(500_000)), 1.5e-4, rtol=1e-6)
