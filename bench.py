@@ -36,9 +36,11 @@ def main():
     fwd = jax.jit(model.apply)
     fwd(params, x).block_until_ready()  # compile + warmup
 
-    # data-dependent chaining defeats async-dispatch mirages (a free-running
-    # dispatch loop "measures" >1000 MP/s through the remote tunnel; real
-    # per-frame latency is what users see), block once at the end.
+    # data-dependent chaining + a HOST READBACK of the result: through this
+    # remote-execution tunnel, block_until_ready can return before compute
+    # finishes (a free-running loop "measures" >1000 MP/s); transferring a
+    # scalar derived from the final value cannot lie.
+    float(jnp.mean(fwd(params, x).astype(jnp.float32)))  # full warmup incl. mean
     n_iters = 10
     best = float("inf")
     for _ in range(3):
@@ -46,7 +48,7 @@ def main():
         t0 = time.perf_counter()
         for _ in range(n_iters):
             z = fwd(params, z)
-        z.block_until_ready()
+        float(jnp.mean(z.astype(jnp.float32)))  # host sync
         best = min(best, (time.perf_counter() - t0) / n_iters)
 
     mp_per_s = (batch * h * w) / best / 1e6

@@ -77,6 +77,17 @@ def read_image_index(csv_path: str) -> list[dict]:
 
 @dataclass
 class PatchDataset:
+    """sampling modes (one per reference dataloader generation):
+      "random_tiled" — v2 (dataloader_v2.py): big images pre-tiled 512/96,
+                       seeded random crops (the flagship trainers' mode);
+      "grid"         — v1 (dataloader.py): fixed-overlap grid of patch
+                       positions over every image;
+      "resize"       — v3 (dataloader_v3.py): like v2 but big images would
+                       be resized to short-side 512 — and are then DROPPED
+                       (the reference never appends them, dataloader_v3.py:137;
+                       quirk kept); the noisy patch is clipped to [0,1].
+    """
+
     csv_path: str
     root_folder: str
     patch_size: tuple[int, int] = (64, 64)
@@ -85,6 +96,9 @@ class PatchDataset:
     lambda_noise: object = 25.0
     use_data_aug: bool = False
     seed: int = 2204
+    sampling: str = "random_tiled"
+    patch_overlap_size: tuple[int, int] = (32, 32)  # grid mode (v1)
+    clip_noisy: bool | None = None  # default: True only for "resize" (v3)
     # tiling plan constants (reference create_all_images, dataloader_v2.py:111-113)
     tile_size: int = 512
     tile_overlap: int = 96
@@ -109,6 +123,14 @@ class PatchDataset:
         for info in infos:
             h, w, c = info["height"], info["width"], info["nchannels"]
             path = os.path.join(self.root_folder, info["path"])
+            if self.sampling == "resize":
+                # v3: big images are built-but-dropped (reference quirk)
+                if not ((w > self.tile_threshold) and (h > self.tile_threshold)):
+                    tiles.append({
+                        "row": 0, "col": 0, "height": h, "width": w,
+                        "nchannels": c, "path": path,
+                    })
+                continue
             if (w > self.tile_threshold) and (h > self.tile_threshold):
                 step = self.tile_size - self.tile_overlap
                 for row in np.arange(0, h - self.tile_size, step):
@@ -127,7 +149,23 @@ class PatchDataset:
 
     def _create_patches(self, max_num_patchs: int):
         """Draw crop positions with the same RNG call pattern as the
-        reference (randint per eligible tile, loops until max covered)."""
+        reference (randint per eligible tile, loops until max covered).
+        Grid mode (v1) enumerates fixed-overlap positions instead."""
+        if self.sampling == "grid":
+            patches = []
+            ph, pw = self.patch_size
+            oh, ow = self.patch_overlap_size
+            for tile in self._tiles:
+                if tile["nchannels"] > 3:
+                    continue
+                for row in np.arange(0, tile["height"] - ph, ph - oh):
+                    for col in np.arange(0, tile["width"] - pw, pw - ow):
+                        patches.append({
+                            "row": int(row), "col": int(col),
+                            "padding": False, "path": tile["path"],
+                        })
+            self._patches_all = patches
+            return
         patches = []
         n_loops = max_num_patchs // max(len(self._tiles), 1) + 1
         ph, pw = self.patch_size
@@ -188,4 +226,7 @@ class PatchDataset:
             patch = dihedral_augment(patch, sample_augment_mode(self.random_state))
         patch = patch.astype(np.float32) / 255.0
         noisy = add_noise(patch, self.dist_mode, self.lambda_noise, self.random_state)
+        clip = self.clip_noisy if self.clip_noisy is not None else (self.sampling == "resize")
+        if clip:
+            noisy = np.clip(noisy, 0.0, 1.0)
         return noisy, patch

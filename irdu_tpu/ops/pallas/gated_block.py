@@ -137,6 +137,9 @@ def fused_gated_block(
         ],
         out_specs=pl.BlockSpec((1, tile_h, w, c), lambda b, i: (b, i, 0, 0),
                                memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,  # v5e has 128M physical VMEM
+        ),
         interpret=interpret,
     )(x, halo_top, halo_bot, scale, w1, dwk, w2, skip)
 

@@ -109,15 +109,23 @@ class Trainer:
 
     def _stage_dataset(self, stage: dict, epoch: int) -> PatchDataset:
         dc = dict(self.config["datasets"]["train"])
+        lam = dc.get("lambda_noise", 25.0)
+        if isinstance(lam, list):  # vary_addictive_noise: [levels, probs]
+            lam = (lam[0], lam[1])
+        extras = {k: dc[k] for k in ("sampling", "patch_overlap_size", "clip_noisy")
+                  if k in dc}
+        if "patch_overlap_size" in extras:
+            extras["patch_overlap_size"] = tuple(extras["patch_overlap_size"])
         ds = PatchDataset(
             csv_path=dc["csv_path"],
             root_folder=dc["root_folder"],
             patch_size=(stage["patch_size"], stage["patch_size"]),
             max_num_patchs=stage.get("max_num_patchs", 100000),
             dist_mode=dc.get("dist_mode", "addictive_noise_scale"),
-            lambda_noise=dc.get("lambda_noise", 25.0),
+            lambda_noise=lam,
             use_data_aug=dc.get("use_data_aug", True),
             seed=dc.get("seed", 2204) + epoch,
+            **extras,
         )
         return ds
 

@@ -114,3 +114,44 @@ def test_batched_loader_and_prefetch(corpus):
     import jax
 
     assert isinstance(noisy, jax.Array)
+
+
+def test_grid_sampling_mode(corpus):
+    """v1 (dataloader.py) semantics: fixed-overlap grid positions."""
+    root, csv_path = corpus
+    ds = PatchDataset(
+        csv_path=csv_path, root_folder=root, patch_size=(48, 48),
+        patch_overlap_size=(24, 24), max_num_patchs=1000,
+        dist_mode="vary_addictive_noise",
+        lambda_noise=([1.0, 15.0, 25.0], [0.2, 0.2, 0.6]),
+        sampling="grid", seed=2204,
+    )
+    assert len(ds) > 0
+    noisy, clean = ds[0]
+    assert clean.shape == (48, 48, 3)
+
+
+def test_resize_sampling_clips_noisy(corpus):
+    """v3 (dataloader_v3.py) semantics: noisy clipped to [0,1]."""
+    root, csv_path = corpus
+    ds = PatchDataset(
+        csv_path=csv_path, root_folder=root, patch_size=(32, 32),
+        max_num_patchs=8, dist_mode="addictive_noise", lambda_noise=50.0,
+        sampling="resize", seed=3,
+    )
+    noisy, clean = ds[0]
+    assert noisy.min() >= 0.0 and noisy.max() <= 1.0
+
+
+def test_ycbcr_roundtrip(rng):
+    from irdu_tpu.data.color import rgb2ycbcr, ycbcr2rgb
+
+    rgb = rng.rand(5, 7, 3)
+    ycc = rgb2ycbcr(rgb)
+    assert 16.0 <= ycc[..., 0].min() and ycc[..., 0].max() <= 235.1
+    np.testing.assert_allclose(ycbcr2rgb(ycc), rgb, atol=1e-10)
+    try:
+        from skimage.color import rgb2ycbcr as sk
+        np.testing.assert_allclose(ycc, sk(rgb), atol=1e-6)
+    except ImportError:
+        pass

@@ -65,3 +65,34 @@ def test_use_pallas_flag_params_identical(rng):
     sa = jax.tree_util.tree_map(lambda t: t.shape, pa)
     sb = jax.tree_util.tree_map(lambda t: t.shape, pb)
     assert sa == sb
+
+
+def test_fused_system_matvec_matches_ops(rng):
+    from irdu_tpu.ops.graph import extract_edge_weights, glr_apply, gtv_apply, per_graph_scale
+    from irdu_tpu.ops.pallas.solver_matvec import fused_system_matvec
+    from irdu_tpu.ops.windows import EDGE_DELTAS_CROSS4 as D
+
+    G, F = 2, 4
+    C = G * F
+    B, H, W = 2, 32, 16
+    x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    feats = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    mm = jnp.asarray(rng.rand(G, F).astype(np.float32) + 0.5)
+    wglr, _ = extract_edge_weights(feats, mm, D, G)
+    wgtv, _ = extract_edge_weights(feats * 1.3 + 0.1, mm, D, G)
+    sglr = {k: jnp.asarray(rng.randn(C).astype(np.float32))
+            for k in ("p01", "p02a", "p02b", "p03")}
+    sgtv = {k: jnp.asarray(rng.randn(C).astype(np.float32))
+            for k in ("p01", "p02a", "p02b", "p03")}
+    mu = jnp.asarray(np.abs(rng.randn(G)).astype(np.float32))
+    ro = jnp.asarray(np.abs(rng.randn(G)).astype(np.float32))
+
+    ref = (x + per_graph_scale(glr_apply(x, wglr, D, G, sglr), mu)
+           + per_graph_scale(gtv_apply(x, wgtv, D, G, sgtv), ro))
+    stk = lambda s: jnp.stack([s["p01"], s["p02a"], s["p02b"], s["p03"]])
+    out = fused_system_matvec(
+        x, wglr, wgtv, stk(sglr), stk(sgtv),
+        jnp.repeat(mu, F), jnp.repeat(ro, F),
+        n_graphs=G, tile_h=8, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
