@@ -35,6 +35,8 @@ class MultiScaleGraphFilter(nn.Module):
     def __call__(self, img):
         g = self.ngraphs
         x = jnp.tile(img, (1, 1, 1, g))
+        # the no_latent file's MixtureGTVGLR uses the 3-block nonlinear
+        # feature heads (v13_no_latent.py:556-...), unlike the flagship
         x = MixtureGTVGLR(
             n_graphs=g,
             n_node_fts=self.n_channels_in,
@@ -44,6 +46,7 @@ class MultiScaleGraphFilter(nn.Module):
             ro_init=(0.0001, 0.0001),
             gamma_init=(0.0001, 0.0001),
             window=self.window,
+            feature_head="nonlinear3",
             name="localfilter",
         )(x)
         return GroupedPointwise(features=self.n_channels_out,

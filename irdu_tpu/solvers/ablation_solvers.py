@@ -40,16 +40,20 @@ from irdu_tpu.solvers.common import GraphOpParams, const_init
 
 
 class _NonLinearHead(nn.Module):
-    """3× LocalNonLinearBlock + 1×1 expand (no_orders.py:399-425)."""
+    """3× LocalNonLinearBlock + optional 1×1 expand (no_orders.py:399-425;
+    the noGTV variant's head has NO final conv, _no_orders_noGTV.py:397-411)."""
 
     channels: int
     out_channels: int
+    with_expand: bool = True
 
     @nn.compact
     def __call__(self, x):
         hidden = int(self.channels * 8 / 3)
         for i in range(3):
             x = LocalNonLinearBlock(self.channels, hidden, 1, name=f"block_{i}")(x)
+        if not self.with_expand:
+            return x
         return GroupedPointwise(features=self.out_channels, name="expand")(x)
 
 
@@ -158,7 +162,8 @@ class GLRSingleScale(nn.Module):
         self.deltas = WINDOWS[self.window]
         self.alpha_cgd = self.param("alphaCGD", const_init(self.alpha_init), (self.n_cgd_iters, g))
         self.beta_cgd = self.param("betaCGD", const_init(self.beta_init), (self.n_cgd_iters, g))
-        self.head = _NonLinearHead(c, c, name="patchs_features_extraction00")
+        self.head = _NonLinearHead(c, c, with_expand=False,
+                                   name="patchs_features_extraction00")
         self.muys00 = self.param("muys00", const_init(float(np.log(self.muy_init))), (g,))
         self.glr00 = GraphOpParams(g, self.n_node_fts, stats_mode=self.stats_mode, name="GLRmodule00")
 
