@@ -148,22 +148,21 @@ class UNetRes(nn.Module):
             c_in = x.shape[-1]
             kernel = self.param(f"{scope}_kernel", torch_conv_init(c_out * 4),
                                 (2, 2, c_out, c_in))
+            # lax.conv_transpose correlates; torch conv_transpose2d convolves
+            # — flip the spatial taps for torch-equivalent semantics
             return jax.lax.conv_transpose(
-                x, kernel, (2, 2), "VALID",
+                x, kernel[::-1, ::-1], (2, 2), "VALID",
                 dimension_numbers=("NHWC", "HWOI", "NHWC"))
 
-        h = Conv3x3Zero(features=nc[0], name="head")(x0)
-        d1 = res_stack(h, nc[0], "down1")
-        x = down(d1, nc[1], "ds1")
-        d2 = res_stack(x, nc[1], "down2")
-        x = down(d2, nc[2], "ds2")
-        d3 = res_stack(x, nc[2], "down3")
-        x = down(d3, nc[3], "ds3")
-        x = res_stack(x, nc[3], "body")
-        x = up(x, nc[2], "us3") + d3
-        x = res_stack(x, nc[2], "up3")
-        x = up(x, nc[1], "us2") + d2
-        x = res_stack(x, nc[1], "up2")
-        x = up(x, nc[0], "us1") + d1
-        x = res_stack(x, nc[0], "up1")
-        return Conv3x3Zero(features=self.out_nc, name="tail")(x)
+        # reference topology (network_unet.py:104-115): m_downK = resblocks
+        # then downsample; m_upK = upsample then resblocks; skip ADDS happen
+        # BEFORE each up stage (x = m_up3(x + x4)) and before the tail.
+        x1 = Conv3x3Zero(features=nc[0], name="head")(x0)
+        x2 = down(res_stack(x1, nc[0], "down1"), nc[1], "ds1")
+        x3 = down(res_stack(x2, nc[1], "down2"), nc[2], "ds2")
+        x4 = down(res_stack(x3, nc[2], "down3"), nc[3], "ds3")
+        x = res_stack(x4, nc[3], "body")
+        x = res_stack(up(x + x4, nc[2], "us3"), nc[2], "up3")
+        x = res_stack(up(x + x3, nc[1], "us2"), nc[1], "up2")
+        x = res_stack(up(x + x2, nc[0], "us1"), nc[0], "up1")
+        return Conv3x3Zero(features=self.out_nc, name="tail")(x + x1)
