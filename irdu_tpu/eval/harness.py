@@ -46,6 +46,9 @@ def evaluate_pairs(
     seed: int = 2204,
     factor: int = 16,
     bucket: int | None = None,
+    save_dir: str | None = None,
+    save_tag: str = "LGU",
+    dataset_name: str = "set",
 ) -> dict:
     """Run the benchmark protocol over uint8 HWC images.
 
@@ -58,7 +61,9 @@ def evaluate_pairs(
     rs = np.random.RandomState(seed=seed)
     psnrs, times = [], []
     pad_factor = bucket if bucket else factor
-    for img_255 in images_255:
+    if save_dir:
+        os.makedirs(save_dir, exist_ok=True)
+    for img_i, img_255 in enumerate(images_255):
         img_true_255 = img_255.astype(np.float32)
         img_true = img_true_255 / 255.0
         noisy = img_true + rs.normal(0, sigma / 255.0, img_true.shape)
@@ -70,6 +75,18 @@ def evaluate_pairs(
         restored = np.clip(restored[:h, :w], 0.0, 1.0)
         restored_255 = img_as_ubyte(restored).astype(np.float32)
         psnrs.append(psnr_255(img_true_255, restored_255))
+        if save_dir:
+            # clean/noisy/denoised triptych files, reference naming scheme
+            # "{dataset}_sigma{σ}_{img}_{tag}_denoised.png" (README.ipynb cell 10)
+            from PIL import Image
+
+            stem = f"{dataset_name}_sigma{int(sigma)}_{img_i:03d}"
+            Image.fromarray(img_255.astype(np.uint8)).save(
+                os.path.join(save_dir, f"{stem}_clean.png"))
+            Image.fromarray(img_as_ubyte(np.clip(noisy[:h, :w], 0, 1))).save(
+                os.path.join(save_dir, f"{stem}_noisy.png"))
+            Image.fromarray(restored_255.astype(np.uint8)).save(
+                os.path.join(save_dir, f"{stem}_{save_tag}_denoised.png"))
     return {
         "psnr": psnrs,
         "mean_psnr": float(np.mean(psnrs)),
@@ -96,9 +113,11 @@ def run_benchmark_eval(
 ) -> dict[str, dict]:
     """Evaluate several benchmark sets: {name: (csv_path, root_folder)} →
     {name: evaluate_pairs result}. Mirrors the README.ipynb cell-10 sweep
-    over CBSD68/Kodak/McMaster/Urban100."""
+    over CBSD68/Kodak/McMaster/Urban100 (pass save_dir to also write the
+    clean/noisy/denoised PNG triptychs)."""
     results = {}
     for name, (csv_path, root) in datasets.items():
         images = load_benchmark_images(csv_path, root)
-        results[name] = evaluate_pairs(forward, images, sigma, **kwargs)
+        results[name] = evaluate_pairs(forward, images, sigma,
+                                       dataset_name=name, **kwargs)
     return results

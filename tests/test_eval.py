@@ -66,3 +66,28 @@ def test_evaluate_pairs_bucket_crops_correctly(rng):
     out = evaluate_pairs(fwd, images, sigma=10.0, bucket=64)
     assert seen["shape"] == (1, 64, 128, 3)
     assert len(out["psnr"]) == 1
+
+
+def test_run_benchmark_eval_sweep(tmp_path, rng):
+    """The README.ipynb cell-10 capability: sweep several CSV-indexed
+    benchmark sets, save denoised triptychs."""
+    import os
+
+    from irdu_tpu.data.synthetic import write_synthetic_corpus
+    from irdu_tpu.eval.harness import run_benchmark_eval
+
+    roots = {}
+    for name in ("setA", "setB"):
+        root = str(tmp_path / name)
+        csv = write_synthetic_corpus(root, n_images=2, size_range=(40, 60), seed=1)
+        roots[name] = (csv, root)
+
+    out_dir = str(tmp_path / "result_images")
+    results = run_benchmark_eval(lambda x: x, roots, sigma=25.0,
+                                 save_dir=out_dir, save_tag="LGU")
+    assert set(results) == {"setA", "setB"}
+    for r in results.values():
+        assert len(r["psnr"]) == 2 and 18 < r["mean_psnr"] < 22
+    files = os.listdir(out_dir)
+    assert any(f.endswith("_LGU_denoised.png") for f in files)
+    assert any("_clean" in f for f in files) and any("_noisy" in f for f in files)
