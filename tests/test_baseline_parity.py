@@ -185,3 +185,161 @@ def test_unetres_parity(rng):
     ours = np.asarray(model.apply({"params": tree}, jnp.asarray(x)))
     np.testing.assert_allclose(
         ours, ref_out.numpy().transpose(0, 2, 3, 1), atol=5e-5, rtol=1e-4)
+
+
+@requires_reference
+def test_swinir_parity(rng):
+    import sys
+    import types
+
+    import torch
+    from flagship_bridge import _conv3x3, _set
+    from torch_bridge import load_reference_module
+
+    # the reference imports timm (absent here) only for DropPath/to_2tuple/
+    # trunc_normal_ — stub them
+    if "timm" not in sys.modules:
+        timm = types.ModuleType("timm")
+        models = types.ModuleType("timm.models")
+        layers = types.ModuleType("timm.models.layers")
+
+        class DropPath(torch.nn.Module):
+            def __init__(self, drop_prob=None):
+                super().__init__()
+
+            def forward(self, x):
+                return x
+
+        layers.DropPath = DropPath
+        layers.to_2tuple = lambda v: v if isinstance(v, tuple) else (v, v)
+        layers.trunc_normal_ = lambda t, std=0.02: torch.nn.init.trunc_normal_(t, std=std)
+        models.layers = layers
+        timm.models = models
+        sys.modules["timm"] = timm
+        sys.modules["timm.models"] = models
+        sys.modules["timm.models.layers"] = layers
+
+    ref = load_reference_module(
+        "/root/reference/exploration/model_multiscale_mixture_GLR/lib/baselineSwinSR.py",
+        "ref_swinir",
+    )
+    torch.manual_seed(0)
+    tm = ref.SwinIR(img_size=16, in_chans=3, embed_dim=16, depths=[2, 2],
+                    num_heads=[2, 2], window_size=8, mlp_ratio=2.0,
+                    upsampler="", img_range=1.0)
+    tm.eval()
+
+    from irdu_tpu.baselines.swinir import SwinIR
+
+    model = SwinIR(embed_dim=16, depths=(2, 2), num_heads=(2, 2), window_size=8)
+    x = rng.rand(1, 16, 16, 3).astype(np.float32)
+    init_params = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.asarray(x))
+
+    tree = {}
+    for name, tensor in tm.state_dict().items():
+        w = tensor.detach().numpy()
+        if "relative_position_index" in name or "attn_mask" in name or name == "mean":
+            continue
+        parts = name.split(".")
+        if parts[0] in ("conv_first", "conv_after_body", "conv_last"):
+            key = "kernel" if parts[1] == "weight" else "bias"
+            _set(tree, (parts[0], key), _conv3x3(w) if key == "kernel" else np.ascontiguousarray(w))
+        elif name.startswith("patch_embed.norm."):
+            _set(tree, ("patch_norm", "scale" if parts[-1] == "weight" else "bias"),
+                 np.ascontiguousarray(w))
+        elif parts[0] == "norm":
+            _set(tree, ("norm", "scale" if parts[-1] == "weight" else "bias"),
+                 np.ascontiguousarray(w))
+        elif parts[0] == "layers":
+            li = int(parts[1])
+            if parts[2] == "conv":
+                key = "kernel" if parts[3] == "weight" else "bias"
+                _set(tree, (f"layers_{li}", "conv", key),
+                     _conv3x3(w) if key == "kernel" else np.ascontiguousarray(w))
+                continue
+            assert parts[2] == "residual_group" and parts[3] == "blocks"
+            bi = int(parts[4])
+            scope = (f"layers_{li}", f"block_{bi}")
+            sub = parts[5:]
+            if sub[0] in ("norm1", "norm2"):
+                _set(tree, scope + (sub[0], "scale" if sub[1] == "weight" else "bias"),
+                     np.ascontiguousarray(w))
+            elif sub[0] == "attn":
+                if sub[1] == "relative_position_bias_table":
+                    _set(tree, scope + ("attn", "relative_position_bias_table"),
+                         np.ascontiguousarray(w))
+                else:  # qkv / proj dense
+                    key = "kernel" if sub[2] == "weight" else "bias"
+                    val = np.ascontiguousarray(w.T) if key == "kernel" else np.ascontiguousarray(w)
+                    _set(tree, scope + ("attn", sub[1], key), val)
+            elif sub[0] == "mlp":
+                target = {"fc1": "mlp_fc1", "fc2": "mlp_fc2"}[sub[1]]
+                key = "kernel" if sub[2] == "weight" else "bias"
+                val = np.ascontiguousarray(w.T) if key == "kernel" else np.ascontiguousarray(w)
+                _set(tree, scope + (target, key), val)
+            else:
+                raise KeyError(name)
+        else:
+            raise KeyError(name)
+
+    init_paths = {jax.tree_util.keystr(p): l.shape
+                  for p, l in jax.tree_util.tree_leaves_with_path(init_params["params"])}
+    conv_paths = {jax.tree_util.keystr(p): l.shape
+                  for p, l in jax.tree_util.tree_leaves_with_path(tree)}
+    assert init_paths == conv_paths, set(init_paths) ^ set(conv_paths)
+
+    with torch.no_grad():
+        ref_out = tm(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
+    ours = np.asarray(model.apply({"params": tree}, jnp.asarray(x)))
+    np.testing.assert_allclose(
+        ours, ref_out.numpy().transpose(0, 2, 3, 1), atol=5e-4, rtol=1e-3)
+
+
+@requires_reference
+def test_ircnn_fdncnn_parity(rng):
+    import sys
+    import torch
+    from flagship_bridge import _conv3x3, _set
+    from torch_bridge import load_reference_module
+
+    sys.path.insert(0, "/root/reference/exploration/model_multiscale_mixture_GLR/lib/baselineDRUnet")
+    ref = load_reference_module(
+        "/root/reference/exploration/model_multiscale_mixture_GLR/lib/baselineDRUnet/network_dncnn.py",
+        "ref_dncnn",
+    )
+    from irdu_tpu.baselines.drunet import FDnCNN, IRCNN
+
+    torch.manual_seed(1)
+    x = rng.rand(1, 24, 24, 2).astype(np.float32)
+
+    # FDnCNN (in_nc=2: image + noise map channel)
+    tm = ref.FDnCNN(in_nc=2, out_nc=1, nc=8, nb=4, act_mode="R")
+    tm.eval()
+    model = FDnCNN(in_nc=2, out_nc=1, nc=8, nb=4)
+    tree = {}
+    conv_idx = sorted({int(k.split(".")[1]) for k in tm.state_dict()})
+    names = ["head"] + [f"body_{i}" for i in range(len(conv_idx) - 2)] + ["tail"]
+    for idx, scope in zip(conv_idx, names):
+        _set(tree, (scope, "kernel"), _conv3x3(tm.state_dict()[f"model.{idx}.weight"].numpy()))
+        _set(tree, (scope, "bias"), np.ascontiguousarray(tm.state_dict()[f"model.{idx}.bias"].numpy()))
+    with torch.no_grad():
+        ref_out = tm(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
+    ours = np.asarray(model.apply({"params": tree}, jnp.asarray(x)))
+    np.testing.assert_allclose(ours, ref_out.numpy().transpose(0, 2, 3, 1),
+                               atol=2e-5, rtol=1e-4)
+
+    # IRCNN (dilated 7-layer)
+    x1 = x[..., :1]
+    tm = ref.IRCNN(in_nc=1, out_nc=1, nc=8)
+    tm.eval()
+    model = IRCNN(in_nc=1, out_nc=1, nc=8)
+    tree = {}
+    conv_idx = sorted({int(k.split(".")[1]) for k in tm.state_dict()})
+    for i, idx in enumerate(conv_idx):
+        _set(tree, (f"layer_{i}", "kernel"), _conv3x3(tm.state_dict()[f"model.{idx}.weight"].numpy()))
+        _set(tree, (f"layer_{i}", "bias"), np.ascontiguousarray(tm.state_dict()[f"model.{idx}.bias"].numpy()))
+    with torch.no_grad():
+        ref_out = tm(torch.from_numpy(np.transpose(x1, (0, 3, 1, 2))))
+    ours = np.asarray(model.apply({"params": tree}, jnp.asarray(x1)))
+    np.testing.assert_allclose(ours, ref_out.numpy().transpose(0, 2, 3, 1),
+                               atol=2e-5, rtol=1e-4)
