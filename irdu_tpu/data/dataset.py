@@ -111,6 +111,7 @@ class PatchDataset:
 
     def __post_init__(self):
         self.random_state = np.random.RandomState(seed=self.seed)
+        self._item_seed = self.seed
         self._create_tiles()
         self._create_patches(self.max_num_patchs)
         self._permute_subselect(self.max_num_patchs)
@@ -195,6 +196,7 @@ class PatchDataset:
         """Re-draw crop positions (per-epoch reshuffle; the analogue of the
         environ ResumeableSampler's 2024+epoch reseed)."""
         self.random_state = np.random.RandomState(seed=seed)
+        self._item_seed = seed
         self._create_patches(self.max_num_patchs)
         self._permute_subselect(self.max_num_patchs)
 
@@ -211,6 +213,13 @@ class PatchDataset:
         return self._cache[path]
 
     def __getitem__(self, idx: int) -> tuple[np.ndarray, np.ndarray]:
+        # Per-item RNG derived from (dataset seed, idx): item content is a
+        # pure function of the index, so a threaded loader stays
+        # deterministic and resume-by-skip replays identical batches (the
+        # plan RNG `self.random_state` stays sequential for crop positions).
+        item_rs = np.random.RandomState(
+            np.random.MT19937(np.random.SeedSequence((self._item_seed, idx)))
+        )
         rec = self._patches[idx]
         img = self._image(rec["path"])
         ph, pw = self.patch_size
@@ -223,9 +232,9 @@ class PatchDataset:
         h_, w_ = (patch.shape[0] // 16) * 16, (patch.shape[1] // 16) * 16
         patch = patch[:h_, :w_]
         if self.use_data_aug:
-            patch = dihedral_augment(patch, sample_augment_mode(self.random_state))
+            patch = dihedral_augment(patch, sample_augment_mode(item_rs))
         patch = patch.astype(np.float32) / 255.0
-        noisy = add_noise(patch, self.dist_mode, self.lambda_noise, self.random_state)
+        noisy = add_noise(patch, self.dist_mode, self.lambda_noise, item_rs)
         clip = self.clip_noisy if self.clip_noisy is not None else (self.sampling == "resize")
         if clip:
             noisy = np.clip(noisy, 0.0, 1.0)

@@ -54,13 +54,17 @@ class CheckpointManager:
             "opt_state": state.opt_state,
             "step": state.step,
         }
-        restored = self._mngr.restore(
-            step,
-            args=ocp.args.Composite(
-                state=ocp.args.StandardRestore(template),
-                data=ocp.args.JsonRestore(),
-            ),
-        )
+        restore_args = {"state": ocp.args.StandardRestore(template)}
+        # `data` is optional at save time; requesting a missing item raises
+        # in orbax, so probe the checkpoint's items first (ADVICE r1).
+        try:
+            items = self._mngr.item_metadata(step)
+            has_data = "data" in getattr(items, "keys", lambda: items)()
+        except Exception:
+            has_data = True  # old orbax without item_metadata: try anyway
+        if has_data:
+            restore_args["data"] = ocp.args.JsonRestore()
+        restored = self._mngr.restore(step, args=ocp.args.Composite(**restore_args))
         new_state = state.replace(
             params=restored["state"]["params"],
             opt_state=restored["state"]["opt_state"],

@@ -104,6 +104,10 @@ class Trainer:
         self.verbose_rate = tc.get("verbose_rate", 100)
         self.ckpt_rate = tc.get("checkpoint_rate", 5000)
         self.eval_rate = tc.get("eval_rate", 1000)
+        # One jitted forward taking params as an argument, shared across all
+        # periodic evals — a fresh closure per eval would retrace/recompile
+        # the full model every time (ADVICE r1).
+        self._eval_fwd = jax.jit(self.model.apply)
 
     # -- data ------------------------------------------------------------
 
@@ -136,7 +140,8 @@ class Trainer:
         eval_conf = self.config.get("eval")
         if not eval_conf:
             return results
-        forward = make_eval_forward(self.model, self.state.params)
+        params = self.state.params
+        forward = lambda x: self._eval_fwd(params, x)  # noqa: E731
         for name, spec in eval_conf.get("datasets", {}).items():
             images = load_benchmark_images(spec["csv_path"], spec["root_folder"])
             out = evaluate_pairs(
@@ -157,13 +162,16 @@ class Trainer:
         num_epochs = tc.get("num_epochs", 1)
         max_steps = tc.get("max_steps")
         psnr_hist, mse_hist = [], []
+        start_epoch = (self.data_state or {}).get("epoch", 0)
         start_stage = (self.data_state or {}).get("stage", 0)
         skip = (self.data_state or {}).get("offset", 0)
 
         i = int(self.state.step)
         for epoch in range(num_epochs):
+            if epoch < start_epoch:
+                continue
             for stage_idx, stage in enumerate(tc["stages"]):
-                if epoch == 0 and stage_idx < start_stage:
+                if epoch == start_epoch and stage_idx < start_stage:
                     continue
                 ds = self._stage_dataset(stage, epoch)
                 loader = batched_loader(ds, stage["batch_size"])
@@ -173,7 +181,8 @@ class Trainer:
                     loader = device_prefetch(loader)
                 offset = 0
                 for noisy, clean in loader:
-                    if epoch == 0 and stage_idx == start_stage and offset < skip:
+                    if (epoch == start_epoch and stage_idx == start_stage
+                            and offset < skip):
                         offset += 1
                         continue
                     offset += 1
@@ -193,14 +202,18 @@ class Trainer:
                         )
                     if i % self.ckpt_rate == 0:
                         self.ckpt.save(i, self.state,
-                                       {"stage": stage_idx, "offset": offset})
+                                       {"epoch": epoch, "stage": stage_idx,
+                                        "offset": offset})
                     if self.eval_rate and i % self.eval_rate == 0:
                         self.run_eval()
                     if max_steps and i >= max_steps:
                         self.ckpt.save(i, self.state,
-                                       {"stage": stage_idx, "offset": offset})
+                                       {"epoch": epoch, "stage": stage_idx,
+                                        "offset": offset})
                         self.ckpt.wait()
                         return {"step": i}
-        self.ckpt.save(i, self.state, {"stage": len(tc["stages"]) - 1, "offset": 0})
+        # epoch == num_epochs marks the run complete: a resume skips every
+        # epoch and falls straight through instead of replaying the last stage
+        self.ckpt.save(i, self.state, {"epoch": num_epochs, "stage": 0, "offset": 0})
         self.ckpt.wait()
         return {"step": i}

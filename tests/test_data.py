@@ -116,6 +116,27 @@ def test_batched_loader_and_prefetch(corpus):
     assert isinstance(noisy, jax.Array)
 
 
+def test_threaded_loader_is_deterministic(corpus):
+    """Item content is a pure function of the index (per-item RNG), so the
+    4-thread loader reproduces itself batch-for-batch — the property the
+    trainer's resume skip-replay relies on (ADVICE r1)."""
+    root, csv_path = corpus
+
+    def make():
+        return PatchDataset(
+            csv_path=csv_path, root_folder=root, patch_size=(32, 32),
+            max_num_patchs=12, dist_mode="addictive_noise_scale",
+            lambda_noise=25.0, use_data_aug=True, seed=9,
+        )
+
+    run1 = list(batched_loader(make(), batch_size=3, num_workers=4))
+    run2 = list(batched_loader(make(), batch_size=3, num_workers=1))
+    assert len(run1) == len(run2) == 4
+    for (n1, c1), (n2, c2) in zip(run1, run2):
+        np.testing.assert_array_equal(n1, n2)
+        np.testing.assert_array_equal(c1, c2)
+
+
 def test_grid_sampling_mode(corpus):
     """v1 (dataloader.py) semantics: fixed-overlap grid positions."""
     root, csv_path = corpus

@@ -79,6 +79,48 @@ def test_trainer_runs_and_resumes(corpus, tmp_path):
     assert out["step"] == 6
 
 
+def test_trainer_resumes_multi_epoch(corpus, tmp_path):
+    """Resume mid-epoch-1 must continue at epoch 1, not replay epoch 0
+    (ADVICE r1: data_state now carries the epoch)."""
+    root, csv_path = corpus
+    conf = _config(root, csv_path, str(tmp_path), max_steps=6)
+    conf["name"] = "tiny_epochs"
+    conf["train"]["num_epochs"] = 2
+    # 20 patches / batch 2 = 10 batches per epoch... shrink: 10 patches -> 5
+    conf["train"]["stages"] = [{"patch_size": 32, "batch_size": 2, "max_num_patchs": 10}]
+
+    out = Trainer(conf).run()
+    assert out["step"] == 6  # stopped inside epoch 1
+
+    conf2 = dict(conf)
+    conf2["train"] = {**conf["train"], "max_steps": None}
+    out = Trainer(conf2).run()
+    # correct resume finishes the remaining 4 batches of epoch 1 -> 10 total;
+    # the old epoch-less resume replayed most of epoch 0 and landed at 15
+    assert out["step"] == 10
+
+
+def test_checkpoint_restore_without_data_state(tmp_path):
+    """save(data_state=None) must restore cleanly (ADVICE r1: orbax raises
+    if a missing item is requested)."""
+    import optax
+
+    from irdu_tpu.train.checkpoints import CheckpointManager
+    from irdu_tpu.train.steps import TrainState
+
+    state = TrainState.create(
+        apply_fn=lambda *a: None,
+        params={"w": jnp.ones((2, 2))},
+        tx=optax.sgd(1e-2),
+    )
+    cm = CheckpointManager(str(tmp_path / "ck"))
+    cm.save(1, state, data_state=None)
+    cm.wait()
+    restored, data = cm.restore(state)
+    assert data is None
+    np.testing.assert_array_equal(np.asarray(restored.params["w"]), np.ones((2, 2)))
+
+
 def test_trainer_dp_mesh(corpus, tmp_path):
     """Data-parallel trainer over the 8-device CPU mesh: one step, batch
     sharded, params replicated."""
