@@ -8,7 +8,7 @@ near-duplicate model files collapse into these + config):
   multiscale_graph_filter           — no-latent ablation top
   one_graph_filter                  — no-latent no-mixture ablation top
   glr_boosting_pyramid              — multiscale GLR boosting (2002 notebook)
-  restormer / swinir / drunet / dncnn — baselines
+  restormer / swinir / drunet / dncnn / ircnn / fdncnn — baselines
 """
 
 from __future__ import annotations
@@ -70,9 +70,11 @@ def _ensure_builtin():
     except ImportError:
         pass
     try:
-        from irdu_tpu.baselines.drunet import DnCNN, UNetRes
+        from irdu_tpu.baselines.drunet import DnCNN, FDnCNN, IRCNN, UNetRes
 
         _REGISTRY["dncnn"] = DnCNN
+        _REGISTRY["fdncnn"] = FDnCNN
+        _REGISTRY["ircnn"] = IRCNN
         _REGISTRY["drunet"] = UNetRes
     except ImportError:
         pass
