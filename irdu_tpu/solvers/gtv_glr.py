@@ -16,9 +16,13 @@ quirk-for-quirk — these are load-bearing for checkpoint/PSNR parity:
     simply don't take it;
   * the bias update uses ε−bias = 2·S_γ(Cx) − Cx.
 
-Everything stays flat-channel NHWC; solving is linear in the signal given
+TPU-first layout: everything rides the flat-channel (B, H, W, C) form,
+including the edge weights (tuple of E lane-aligned arrays, pre-repeated
+over node features — see ops.graph flat section; 2-3x faster than the
+grouped (B,H,W,G,E) layout on v5e). Solving is linear in the signal given
 the edge weights, so the whole unroll fuses into one XLA stencil pipeline
-per scale.
+per scale; `use_pallas` routes the unroll through the hand-fused band
+kernels in ops.pallas.solver_unroll.
 """
 
 from __future__ import annotations
@@ -31,16 +35,15 @@ from flax import linen as nn
 
 from irdu_tpu.models.layers import Downsample2x2, GroupedPointwise, box_down2x2, box_up2x2
 from irdu_tpu.ops.graph import (
-    extract_edge_weights,
-    glr_apply,
-    gtv_apply,
-    op_c,
-    op_c_transpose,
-    per_graph_scale,
+    extract_edge_weights_flat,
+    glr_apply_flat,
+    gtv_apply_flat,
+    op_c_flat,
+    op_c_transpose_flat,
+    repeat_per_graph,
     soft_threshold,
 )
 from irdu_tpu.ops.windows import WINDOWS
-
 
 from irdu_tpu.solvers.common import GraphOpParams, const_init as _const_init
 
@@ -62,6 +65,13 @@ class MixtureGTVGLR(nn.Module):
     # + 1x1 expand (the no_latent_no_mixture GTVGLR head,
     # model_GLR_GTV_deep_v13_no_latent_no_mixture.py:612-697)
     n_cgd_iters: int = 3  # fixed in the reference (v1x0.py:544)
+    # Cut XLA fusion at the edge weights and at every CG iterate. Without
+    # the cuts XLA's producer-duplication heuristic recomputes the softmax
+    # weight chains and earlier iterates into every consumer fusion, and
+    # the unroll's cost grows superlinearly with composition depth
+    # (measured: the whole solver costs ~4x the sum of its ops). Numerics
+    # are unchanged — optimization_barrier is an identity.
+    fusion_cuts: bool = True
 
     def setup(self):
         g = self.n_graphs
@@ -101,40 +111,47 @@ class MixtureGTVGLR(nn.Module):
 
     # -- helpers ---------------------------------------------------------
 
-    def _system_matvec(self, x, w_gtv, w_glr):
+    def _chan(self, vec_g):
+        """exp(per-graph log-param) broadcast per channel: (G,) -> (C,)."""
+        return repeat_per_graph(jnp.exp(vec_g), self.n_node_fts)
+
+    def _system_matvec(self, x, w_gtv, w_glr, p):
         """A·x for the two-scale system
         A = I + μ₀·GLR₀ + ρ₀·GTV₀ + Up(μ₁·GLR₁ + ρ₁·GTV₁)Down
         (reference apply_lightweight_transformer, v1x0.py:642-682)."""
-        d, g = self.deltas, self.n_graphs
+        d = self.deltas
         out = x
-        out = out + per_graph_scale(
-            glr_apply(x, w_glr[0], d, g, self.glr00.stats), jnp.exp(self.muys00))
-        out = out + per_graph_scale(
-            gtv_apply(x, w_gtv[0], d, g, self.gtv00.stats), jnp.exp(self.ro00))
+        out = out + p["mu00"] * glr_apply_flat(x, w_glr[0], d, self.glr00.stats)
+        out = out + p["ro00"] * gtv_apply_flat(x, w_gtv[0], d, self.gtv00.stats)
         x2 = box_down2x2(x)
-        temp = per_graph_scale(
-            glr_apply(x2, w_glr[1], d, g, self.glr01.stats), jnp.exp(self.muys01))
-        temp = temp + per_graph_scale(
-            gtv_apply(x2, w_gtv[1], d, g, self.gtv01.stats), jnp.exp(self.ro01))
+        temp = p["mu01"] * glr_apply_flat(x2, w_glr[1], d, self.glr01.stats)
+        temp = temp + p["ro01"] * gtv_apply_flat(x2, w_gtv[1], d, self.gtv01.stats)
         return out + box_up2x2(temp)
 
-    def _rhs(self, y, eps00, eps01, w_gtv00, w_gtv01):
+    def _rhs(self, y, eps00, eps01, w_gtv00, w_gtv01, p):
         """RHS build: y + ρ₀·Cᵀ₀ε₀ + ρ₁·Up(Cᵀ₁ε₁) (v1x0.py:744-749, 776-781)."""
-        d, g = self.deltas, self.n_graphs
-        rhs = y + per_graph_scale(
-            op_c_transpose(eps00, w_gtv00, d, g, self.gtv00.stats),
-            jnp.exp(self.ro00))
-        up = box_up2x2(op_c_transpose(eps01, w_gtv01, d, g, self.gtv01.stats))
-        return rhs + per_graph_scale(up, jnp.exp(self.ro01))
+        d = self.deltas
+        rhs = y + p["ro00"] * op_c_transpose_flat(eps00, w_gtv00, d, self.gtv00.stats)
+        up = box_up2x2(op_c_transpose_flat(eps01, w_gtv01, d, self.gtv01.stats))
+        return rhs + p["ro01"] * up
 
     def _alpha(self, i):
         """α[i] / β[i] broadcast per channel: (G,) -> (C,)."""
-        return jnp.repeat(self.alpha_cgd[i], self.n_node_fts)
+        return repeat_per_graph(self.alpha_cgd[i], self.n_node_fts)
 
     def _beta(self, i):
-        return jnp.repeat(self.beta_cgd[i], self.n_node_fts)
+        return repeat_per_graph(self.beta_cgd[i], self.n_node_fts)
 
     # -- forward ---------------------------------------------------------
+
+    def _cut(self, t):
+        """Identity that blocks XLA fusion/recompute across it (see
+        fusion_cuts). Works on arrays or (nested) tuples of arrays."""
+        if not self.fusion_cuts:
+            return t
+        import jax
+
+        return jax.lax.optimization_barrier(t)
 
     def __call__(self, patchs: jnp.ndarray) -> jnp.ndarray:
         d, g = self.deltas, self.n_graphs
@@ -142,46 +159,52 @@ class MixtureGTVGLR(nn.Module):
         # edge weights at both scales, for GTV and GLR
         f00 = self.feat00(patchs)
         f_gtv00, f_glr00 = jnp.split(f00, 2, axis=-1)
-        w_gtv00, _ = extract_edge_weights(f_gtv00, self.gtv00.multi_m, d, g)
-        w_glr00, _ = extract_edge_weights(f_glr00, self.glr00.multi_m, d, g)
+        w_gtv00 = self._cut(extract_edge_weights_flat(f_gtv00, self.gtv00.multi_m, d, g))
+        w_glr00 = self._cut(extract_edge_weights_flat(f_glr00, self.glr00.multi_m, d, g))
 
         f01 = self.feat01_point(self.feat01_down(patchs))
         f_gtv01, f_glr01 = jnp.split(f01, 2, axis=-1)
-        w_gtv01, _ = extract_edge_weights(f_gtv01, self.gtv01.multi_m, d, g)
-        w_glr01, _ = extract_edge_weights(f_glr01, self.glr01.multi_m, d, g)
+        w_gtv01 = self._cut(extract_edge_weights_flat(f_gtv01, self.gtv01.multi_m, d, g))
+        w_glr01 = self._cut(extract_edge_weights_flat(f_glr01, self.glr01.multi_m, d, g))
 
         w_gtv = (w_gtv00, w_gtv01)
         w_glr = (w_glr00, w_glr01)
+
+        # per-channel positive scalars, computed once
+        p = dict(
+            mu00=self._chan(self.muys00), mu01=self._chan(self.muys01),
+            ro00=self._chan(self.ro00), ro01=self._chan(self.ro01),
+        )
 
         y = patchs
         y_half = box_down2x2(y)
 
         # ADMM init: ε = C·y at both scales, bias 0 (v1x0.py:738-749)
-        eps_a00 = op_c(y, w_gtv00, d, g, self.gtv00.stats)
-        eps_a01 = op_c(y_half, w_gtv01, d, g, self.gtv01.stats)
-        rhs_a = self._rhs(y, eps_a00, eps_a01, w_gtv00, w_gtv01)
+        eps_a00 = op_c_flat(y, w_gtv00, d, self.gtv00.stats)
+        eps_a01 = op_c_flat(y_half, w_gtv01, d, self.gtv01.stats)
+        rhs_a = self._rhs(y, eps_a00, eps_a01, w_gtv00, w_gtv01, p)
 
         # CG step 1 (v1x0.py:751-753) — x₀ = RHS itself
-        out00 = rhs_a
-        res00 = rhs_a - self._system_matvec(out00, w_gtv, w_glr)
-        out01 = out00 + self._alpha(0) * res00
+        out00 = self._cut(rhs_a)
+        res00 = out00 - self._system_matvec(out00, w_gtv, w_glr, p)
+        out01 = self._cut(out00 + self._alpha(0) * res00)
 
         # ADMM re-threshold + new RHS (v1x0.py:757-781)
-        gamma00_c = jnp.repeat(jnp.exp(self.gamma00), self.n_node_fts)
-        gamma01_c = jnp.repeat(jnp.exp(self.gamma01), self.n_node_fts)
-        temp_b00 = op_c(out01, w_gtv00, d, g, self.gtv00.stats)
-        temp_b01 = op_c(box_down2x2(out01), w_gtv01, d, g, self.gtv01.stats)
+        gamma00_c = self._chan(self.gamma00)
+        gamma01_c = self._chan(self.gamma01)
+        temp_b00 = op_c_flat(out01, w_gtv00, d, self.gtv00.stats)
+        temp_b01 = op_c_flat(box_down2x2(out01), w_gtv01, d, self.gtv01.stats)
         # ε − bias = 2·S_γ(Cx) − Cx, per edge
         rhs_eps00 = tuple(2.0 * soft_threshold(t, gamma00_c) - t for t in temp_b00)
         rhs_eps01 = tuple(2.0 * soft_threshold(t, gamma01_c) - t for t in temp_b01)
-        rhs_b = self._rhs(y, rhs_eps00, rhs_eps01, w_gtv00, w_gtv01)
+        rhs_b = self._cut(self._rhs(y, rhs_eps00, rhs_eps01, w_gtv00, w_gtv01, p))
 
         # CG steps 2–3 with β-momentum (β[1] unused by design, v1x0.py:784-790)
-        res01 = rhs_b - self._system_matvec(out01, w_gtv, w_glr)
-        update01 = res01
-        out02 = out01 + self._alpha(1) * update01
+        res01 = rhs_b - self._system_matvec(out01, w_gtv, w_glr, p)
+        update01 = self._cut(res01)
+        out02 = self._cut(out01 + self._alpha(1) * update01)
 
-        res03 = rhs_b - self._system_matvec(out02, w_gtv, w_glr)
+        res03 = rhs_b - self._system_matvec(out02, w_gtv, w_glr, p)
         update03 = res03 + self._beta(2) * update01
         out03 = out02 + self._alpha(2) * update03
 
