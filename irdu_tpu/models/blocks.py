@@ -155,6 +155,7 @@ class LocalLowpassFilteringBlock(nn.Module):
     ngraphs: int
     nsubnets: int = 1
     window: str = "cross4"
+    use_pallas_solver: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -170,6 +171,7 @@ class LocalLowpassFilteringBlock(nn.Module):
             ro_init=(0.0001, 0.0001),
             gamma_init=(0.0001, 0.0001),
             window=self.window,
+            use_pallas_unroll=self.use_pallas_solver,
             name="local_filter",
         )(x)
         return sw[0] * x + sw[1] * y

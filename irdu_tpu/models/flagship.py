@@ -47,6 +47,10 @@ class AbstractMultiScaleGraphFilter(nn.Module):
     # inference-only: run encoder/decoder blocks through the fused Pallas
     # kernel (ops/pallas/gated_block.py)
     use_pallas_blocks: bool = False
+    # inference-only: run the unrolled solvers through the fused CHW Pallas
+    # kernels (ops/pallas/solver_chw.py); scales whose shapes don't qualify
+    # fall back to the jnp path automatically
+    use_pallas_solver: bool = False
 
     def setup(self):
         d, hd, ns = self.dims, self.hidden_dims, self.nsubnets
@@ -72,7 +76,8 @@ class AbstractMultiScaleGraphFilter(nn.Module):
         self.local_filters = [
             LocalLowpassFilteringBlock(
                 dim=d[s], ngraphs=self.ngraphs[s], nsubnets=ns[s],
-                window=self.window, name=f"localfilter_scale_{s:02d}",
+                window=self.window, use_pallas_solver=self.use_pallas_solver,
+                name=f"localfilter_scale_{s:02d}",
             )
             for s in range(4)
         ]

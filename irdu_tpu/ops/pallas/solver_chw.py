@@ -1,0 +1,465 @@
+"""Fused CHW (space-on-lanes) kernels for the GGTV+GGLR unrolled solver.
+
+Why CHW: the flagship's latent codes are (B, H, W, C) with C = 48..384.
+With C on the 128-wide lane dimension, scale0 (C=48) reaches only ~125 GB/s
+HBM and 37 % of VPU lanes on this v5e; transposing to (B, C, H, W) puts W
+(512/256) on lanes → measured 940 GB/s streaming and full-lane VPU
+(scripts/microbench_pallas_bw.py, PERF.md round-2 notes). Edge weights live
+compactly as (B, G, E, H, W) planes — per-graph, not repeated over node
+features — and broadcast over the F channel planes inside the kernels for
+free, so weight traffic drops 6-12× vs the flat NHWC form.
+
+Three kernels cover the solver's hot surface (reference
+/root/reference/exploration/GGTV_GGLR_v1.0/deep_multiscale_GGLR_GGTV_v1x0.py):
+
+  * ``edge_weights_chw``  — normalize + metric + 4 neighbour dots + softmax
+    (reference ``extract_edge_weights``, v1x0.py:146-175).
+  * ``gg_matvec_chw``     — out = [x +] μ⊙GLR(x) + ρ⊙GTV(x), one scale of
+    ``apply_lightweight_transformer`` (v1x0.py:642-682). With μ=0 it also
+    builds the ADMM init RHS (y + ρ·CᵀC y, v1x0.py:738-749).
+  * ``gtv_rethresh_chw``  — [y +] ρ⊙Cᵀ(2·S_γ(Cx) − Cx), the ADMM
+    re-threshold + RHS rebuild (v1x0.py:757-781).
+
+Kernel structure (shaped by Mosaic's lowering rules):
+
+  * grid (B, G, n_bands); row bands pre-gathered with clamped row indices
+    so H-edge-replicate of the *input* comes free; derived arrays get
+    masked shifts against the global row index (shift2d replicates the
+    derived array's own boundary row — recomputing it on clamped x rows
+    differs).
+  * all vector math is 2D (rows, W) per channel plane — Mosaic cannot
+    broadcast a vector element across both sublanes and lanes, so the
+    per-channel stencil coefficients and per-graph scales live in SMEM
+    and multiply as true scalar splats, with a Python loop over the F
+    planes of the block.
+  * W shifts are lane rolls + boundary-column selects against the *true*
+    width (operands may be lane-padded to a multiple of 128); f32 compute
+    (pltpu.roll is 32-bit-only), bf16 in/out.
+
+The jnp flat-channel path (ops.graph) stays authoritative; these kernels
+are inference-only and tested against it in interpret mode.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Edge order must match ops.windows.WINDOWS["cross4"]:
+# shift2d reads x[i+dh, j+dw].
+CROSS4 = ((-1, 0), (0, -1), (0, 1), (1, 0))
+
+_VMEM = 100 * 1024 * 1024  # v5e has 128 MB physical VMEM
+
+_HALO_X = 4   # stats(1) + op shift(1) + op_cT shift(1) + statsT(1)
+_HALO_W = 2
+
+
+# ---------------------------------------------------------------------------
+# in-kernel shift algebra — arrays are 2D (rows, W): rows sublane, W lane
+# ---------------------------------------------------------------------------
+
+
+def _wshift(v, dw, true_w, interpret, zero):
+    """out[:, j] = v[:, j+dw]; boundary at the true image width:
+    edge-replicate (zero=False) or zero-fill (zero=True)."""
+    if dw == 0:
+        return v
+    w = v.shape[-1]
+    if interpret:
+        r = jnp.roll(v, -dw, axis=1)
+    else:
+        r = pltpu.roll(v, (-dw) % w, axis=1)
+    col = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+    if dw == 1:
+        bad = col == true_w - 1
+    else:
+        bad = col == 0
+    if true_w != w:
+        bad = bad | (col + dw >= true_w)
+    return jnp.where(bad, jnp.zeros_like(v) if zero else v, r)
+
+
+def _hshift(v, dh, grows, true_h, zero):
+    """out[r, :] = v[r+dh, :]. Out-of-image reads (via the global row index
+    grows, shape (rows, 1)) are masked: zero-fill, or the unshifted value
+    for edge-replicate."""
+    if dh == 0:
+        return v
+    if dh == 1:
+        r = jnp.concatenate([v[1:], v[-1:]], axis=0)
+    else:
+        r = jnp.concatenate([v[:1], v[:-1]], axis=0)
+    src = grows + dh
+    bad = (src < 0) | (src > true_h - 1)
+    return jnp.where(bad, jnp.zeros_like(v) if zero else v, r)
+
+
+def _shift(v, dh, dw, grows, true_h, true_w, interpret, zero=False):
+    out = _hshift(v, dh, grows, true_h, zero)
+    return _wshift(out, dw, true_w, interpret, zero)
+
+
+def _stats2(v, p, g, f, sh):
+    """Polynomial 3×3 stencil on one (rows, W) plane, replicate boundary
+    (ops.graph.stats_conv). p: SMEM ref (G, 4, F) or None."""
+    if p is None:
+        return v
+    r = sh(v, 0, 1)
+    d = sh(v, 1, 0)
+    u = sh(v, -1, 0)
+    l = sh(v, 0, -1)
+    return (p[g, 0, f] * v + p[g, 1, f] * (r - v) + p[g, 2, f] * (d - v)
+            + p[g, 3, f] * (4.0 * v - u - d - l - r))
+
+
+def _stats2_t(v, p, g, f, shz):
+    """Adjoint stencil: flipped taps, zero boundary
+    (ops.graph.stats_conv_transpose)."""
+    if p is None:
+        return v
+    r0 = shz(v, 0, 1)
+    d0 = shz(v, 1, 0)
+    u0 = shz(v, -1, 0)
+    l0 = shz(v, 0, -1)
+    return (p[g, 0, f] * v + p[g, 1, f] * (l0 - v) + p[g, 2, f] * (u0 - v)
+            + p[g, 3, f] * (4.0 * v - u0 - d0 - l0 - r0))
+
+
+def _grow_rows(w2, d):
+    """Align a (tile+2·halo_w, W) weight plane onto the x band's row grid
+    by replicating its edge rows (the extra rows are discarded halo)."""
+    return jnp.concatenate([w2[:1]] * d + [w2] + [w2[-1:]] * d, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# kernel bodies
+# ---------------------------------------------------------------------------
+
+
+def _matvec_kernel(x_ref, wglr_ref, wgtv_ref, pglr_ref, pgtv_ref, scal_ref,
+                   out_ref, *, n_f, tile_h, true_h, true_w,
+                   no_glr_stats, no_gtv_stats, add_identity, with_glr,
+                   interpret):
+    gidx = pl.program_id(1)
+    i = pl.program_id(2)
+    rows = tile_h + 2 * _HALO_X
+    grows = (jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+             + i * tile_h - _HALO_X)
+    sh = functools.partial(_shift, grows=grows, true_h=true_h, true_w=true_w,
+                           interpret=interpret)
+    shz = functools.partial(sh, zero=True)
+    pglr = None if no_glr_stats else pglr_ref
+    pgtv = None if no_gtv_stats else pgtv_ref
+    d = _HALO_X - _HALO_W
+    wgtv = [_grow_rows(wgtv_ref[0, 0, e, 0].astype(jnp.float32), d)
+            for e in range(4)]
+    if with_glr:
+        wglr = [_grow_rows(wglr_ref[0, 0, e, 0].astype(jnp.float32), d)
+                for e in range(4)]
+        mu = scal_ref[gidx, 0]
+    ro = scal_ref[gidx, 1]
+
+    for f in range(n_f):
+        x = x_ref[0, 0, f, 0].astype(jnp.float32)          # (rows, W)
+
+        # GTV: statsᵀ(Σ_e [w_e·ε_e − shift₋ₑ⁰(w_e·ε_e)]),
+        #      ε_e = w_e·(s₂ − shift_e s₂)
+        s2 = _stats2(x, pgtv, gidx, f, sh)
+        acc = None
+        for e, (dh, dw) in enumerate(CROSS4):
+            we = wgtv[e]
+            eps = we * (s2 - sh(s2, dh, dw))
+            wei = we * eps
+            term = wei - shz(wei, -dh, -dw)
+            acc = term if acc is None else acc + term
+        out = ro * _stats2_t(acc, pgtv, gidx, f, shz)
+
+        if with_glr:
+            # GLR: statsᵀ(s − Σ_e w_e ⊙ shift_e(s)), s = stats(x)
+            s = _stats2(x, pglr, gidx, f, sh)
+            wx = None
+            for e, (dh, dw) in enumerate(CROSS4):
+                term = wglr[e] * sh(s, dh, dw)
+                wx = term if wx is None else wx + term
+            out = out + mu * _stats2_t(s - wx, pglr, gidx, f, shz)
+
+        if add_identity:
+            out = out + x
+        out_ref[0, 0, f, 0] = out[_HALO_X:_HALO_X + tile_h].astype(out_ref.dtype)
+
+
+def _rethresh_kernel(x_ref, y_ref, wgtv_ref, pgtv_ref, scal_ref, out_ref,
+                     *, n_f, tile_h, true_h, true_w, no_gtv_stats,
+                     include_y, interpret):
+    gidx = pl.program_id(1)
+    i = pl.program_id(2)
+    rows = tile_h + 2 * _HALO_X
+    grows = (jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+             + i * tile_h - _HALO_X)
+    sh = functools.partial(_shift, grows=grows, true_h=true_h, true_w=true_w,
+                           interpret=interpret)
+    shz = functools.partial(sh, zero=True)
+    pgtv = None if no_gtv_stats else pgtv_ref
+    d = _HALO_X - _HALO_W
+    wgtv = [_grow_rows(wgtv_ref[0, 0, e, 0].astype(jnp.float32), d)
+            for e in range(4)]
+    gamma = scal_ref[gidx, 0]
+    ro = scal_ref[gidx, 1]
+
+    for f in range(n_f):
+        x = x_ref[0, 0, f, 0].astype(jnp.float32)
+        s2 = _stats2(x, pgtv, gidx, f, sh)
+        acc = None
+        for e, (dh, dw) in enumerate(CROSS4):
+            we = wgtv[e]
+            eps = we * (s2 - sh(s2, dh, dw))
+            # ε − bias = 2·S_γ(Cx) − Cx  (reference v1x0.py:757-781)
+            thr = (jnp.where(eps < -gamma, eps + gamma, 0.0)
+                   + jnp.where(eps > gamma, eps - gamma, 0.0))
+            t = 2.0 * thr - eps
+            wei = we * t
+            term = wei - shz(wei, -dh, -dw)
+            acc = term if acc is None else acc + term
+        out = (ro * _stats2_t(acc, pgtv, gidx, f, shz))[_HALO_X:_HALO_X + tile_h]
+        if include_y:
+            out = out + y_ref[0, 0, f, 0].astype(jnp.float32)
+        out_ref[0, 0, f, 0] = out.astype(out_ref.dtype)
+
+
+def _edgew_kernel(f_ref, m_ref, out_ref, *, n_f, tile_h, true_h, true_w,
+                  interpret):
+    gidx = pl.program_id(1)
+    i = pl.program_id(2)
+    rows = tile_h + 2
+    grows = (jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+             + i * tile_h - 1)
+    sh = functools.partial(_shift, grows=grows, true_h=true_h, true_w=true_w,
+                           interpret=interpret)
+
+    ss = None
+    for f in range(n_f):
+        x = f_ref[0, 0, f, 0].astype(jnp.float32)
+        ss = x * x if ss is None else ss + x * x
+    inv = 1.0 / jnp.maximum(jnp.sqrt(ss), 1e-12)
+    ts = [f_ref[0, 0, f, 0].astype(jnp.float32) * inv * m_ref[gidx, f]
+          for f in range(n_f)]
+
+    sims = []
+    for dh, dw in CROSS4:
+        s = None
+        for f in range(n_f):
+            term = ts[f] * sh(ts[f], dh, dw)
+            s = term if s is None else s + term
+        sims.append(s)
+    mx = jnp.maximum(jnp.maximum(sims[0], sims[1]),
+                     jnp.maximum(sims[2], sims[3]))
+    exps = [jnp.exp(s - mx) for s in sims]
+    den = exps[0] + exps[1] + exps[2] + exps[3]
+    for e in range(4):
+        out_ref[0, 0, e, 0] = (exps[e] / den).astype(
+            out_ref.dtype)[1:1 + tile_h]
+
+
+# ---------------------------------------------------------------------------
+# CHW-layout jnp glue (XLA handles these fine; kept here so the solver's
+# CHW path is self-contained)
+# ---------------------------------------------------------------------------
+
+
+def box_down_chw(x):
+    """models.layers.box_down2x2 on (B, C, H, W)."""
+    b, c, h, w = x.shape
+    x = x.reshape(b, c, h // 2, 2, w // 2, 2)
+    return (x[:, :, :, 0, :, 0] + x[:, :, :, 0, :, 1]
+            + x[:, :, :, 1, :, 0] + x[:, :, :, 1, :, 1]) * 0.25
+
+
+def box_up_chw(x):
+    """models.layers.box_up2x2 on (B, C, H, W)."""
+    b, c, h, w = x.shape
+    y = x[:, :, :, None, :, None] * 0.25
+    return jnp.broadcast_to(y, (b, c, h, 2, w, 2)).reshape(b, c, 2 * h, 2 * w)
+
+
+# ---------------------------------------------------------------------------
+# band gathering + pallas_call wrappers
+# ---------------------------------------------------------------------------
+
+
+def _band_rows(h, tile_h, halo):
+    nb = h // tile_h
+    idx = (np.arange(nb)[:, None] * tile_h
+           + np.arange(-halo, tile_h + halo)[None, :])
+    return jnp.asarray(np.clip(idx, 0, h - 1).reshape(-1))
+
+
+def _gather_bands(x, tile_h, halo):
+    """(B, G, K, H, W) → (B, G, K, nb, tile_h+2·halo, W), clamped rows."""
+    b, g, k, h, w = x.shape
+    nb = h // tile_h
+    xb = jnp.take(x, _band_rows(h, tile_h, halo), axis=3)
+    return xb.reshape(b, g, k, nb, tile_h + 2 * halo, w)
+
+
+def _pick_tile_h(h):
+    for th in (64, 32, 16, 8):
+        if h % th == 0:
+            return th
+    raise ValueError(f"H={h} not a multiple of 8")
+
+
+def _band_spec(k, rows, w):
+    return pl.BlockSpec((1, 1, k, 1, rows, w),
+                        lambda b, g, i: (b, g, 0, i, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _smem_spec(shape):
+    """Per-graph scalar table, whole array in SMEM (Mosaic requires SMEM
+    blocks to cover the full array); kernels index it by program_id(1)."""
+    del shape
+    return pl.BlockSpec(memory_space=pltpu.SMEM)
+
+
+def _stats_pg(stats, n_graphs, n_node_fts):
+    """ops.graph stats dict (each entry (C,) or scalar) → (G, 4, F) f32;
+    None (no_orders) passes through."""
+    if stats is None:
+        return None
+    g, f = n_graphs, n_node_fts
+    rows = []
+    for k in ("p01", "p02a", "p02b", "p03"):
+        v = jnp.asarray(stats[k], jnp.float32).reshape(-1)
+        if v.size == 1:
+            v = jnp.broadcast_to(v, (g * f,))
+        rows.append(v.reshape(g, f))
+    return jnp.stack(rows, axis=1)  # (G, 4, F)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_graphs", "true_h", "true_w", "add_identity", "with_glr", "interpret"))
+def gg_matvec_chw(x, w_glr, w_gtv, pglr, pgtv, mu, ro, *, n_graphs,
+                  true_h, true_w, add_identity=True, with_glr=True,
+                  interpret=False):
+    """x: (B, C, H, W); w_glr/w_gtv: (B, G, E, H, W); pglr/pgtv: (G, 4, F)
+    or None (no_orders); mu/ro: (G,) positive scales (exp already applied).
+    Returns [x +] μ⊙GLR(x) + ρ⊙GTV(x) as (B, C, H, W). with_glr=False
+    skips the GLR branch entirely (the μ=0 ADMM-init RHS)."""
+    b, c, h, w = x.shape
+    g = n_graphs
+    f = c // g
+    th = _pick_tile_h(h)
+    nb = h // th
+    xb = _gather_bands(x.reshape(b, g, f, h, w), th, _HALO_X)
+    wgtv_b = _gather_bands(w_gtv, th, _HALO_W)
+    if with_glr:
+        wglr_b = _gather_bands(w_glr, th, _HALO_W)
+    else:
+        wglr_b = jnp.zeros((b, g, 4, nb, 1, w), x.dtype)
+
+    dummy = jnp.zeros((g, 4, f), jnp.float32)
+    pglr_in = dummy if pglr is None else pglr
+    pgtv_in = dummy if pgtv is None else pgtv
+    scal = jnp.stack([jnp.asarray(mu, jnp.float32).reshape(-1),
+                      jnp.asarray(ro, jnp.float32).reshape(-1)], axis=1)
+
+    kernel = functools.partial(
+        _matvec_kernel, n_f=f, tile_h=th, true_h=true_h, true_w=true_w,
+        no_glr_stats=pglr is None, no_gtv_stats=pgtv is None,
+        add_identity=add_identity, with_glr=with_glr, interpret=interpret)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, g, f, nb, th, w), x.dtype),
+        grid=(b, g, nb),
+        in_specs=[
+            _band_spec(f, th + 2 * _HALO_X, w),
+            _band_spec(4, th + 2 * _HALO_W if with_glr else 1, w),
+            _band_spec(4, th + 2 * _HALO_W, w),
+            _smem_spec(pglr_in.shape),
+            _smem_spec(pgtv_in.shape),
+            _smem_spec(scal.shape),
+        ],
+        out_specs=_band_spec(f, th, w),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM),
+        interpret=interpret,
+    )(xb, wglr_b, wgtv_b, pglr_in, pgtv_in, scal)
+    return out.reshape(b, c, h, w)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_graphs", "true_h", "true_w", "interpret"))
+def gtv_rethresh_chw(x, y, w_gtv, pgtv, gamma, ro, *, n_graphs,
+                     true_h, true_w, interpret=False):
+    """[y +] ρ⊙Cᵀ(2·S_γ(Cx) − Cx). x/y: (B, C, H, W) (y may be None);
+    w_gtv: (B, G, E, H, W); pgtv: (G, 4, F) or None; gamma/ro: (G,)."""
+    b, c, h, w = x.shape
+    g = n_graphs
+    f = c // g
+    th = _pick_tile_h(h)
+    nb = h // th
+    xb = _gather_bands(x.reshape(b, g, f, h, w), th, _HALO_X)
+    wgtv_b = _gather_bands(w_gtv, th, _HALO_W)
+    include_y = y is not None
+    if include_y:
+        yb = y.reshape(b, g, f, nb, th, w)
+    else:
+        yb = jnp.zeros((b, g, 1, nb, 1, w), x.dtype)
+
+    dummy = jnp.zeros((g, 4, f), jnp.float32)
+    scal = jnp.stack([jnp.asarray(gamma, jnp.float32).reshape(-1),
+                      jnp.asarray(ro, jnp.float32).reshape(-1)], axis=1)
+    kernel = functools.partial(
+        _rethresh_kernel, n_f=f, tile_h=th, true_h=true_h, true_w=true_w,
+        no_gtv_stats=pgtv is None, include_y=include_y, interpret=interpret)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, g, f, nb, th, w), x.dtype),
+        grid=(b, g, nb),
+        in_specs=[
+            _band_spec(f, th + 2 * _HALO_X, w),
+            _band_spec(yb.shape[2], th if include_y else 1, w),
+            _band_spec(4, th + 2 * _HALO_W, w),
+            _smem_spec((pgtv if pgtv is not None else dummy).shape),
+            _smem_spec(scal.shape),
+        ],
+        out_specs=_band_spec(f, th, w),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM),
+        interpret=interpret,
+    )(xb, yb, wgtv_b, pgtv if pgtv is not None else dummy, scal)
+    return out.reshape(b, c, h, w)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_graphs", "true_h", "true_w", "interpret"))
+def edge_weights_chw(feats, multi_m, *, n_graphs, true_h, true_w,
+                     interpret=False):
+    """feats: (B, C, H, W) → softmax cross-4 edge weights (B, G, E, H, W).
+    multi_m: (G, F)."""
+    b, c, h, w = feats.shape
+    g = n_graphs
+    f = c // g
+    th = _pick_tile_h(h)
+    nb = h // th
+    fb = _gather_bands(feats.reshape(b, g, f, h, w), th, 1)
+
+    kernel = functools.partial(_edgew_kernel, n_f=f, tile_h=th, true_h=true_h,
+                               true_w=true_w, interpret=interpret)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, g, 4, nb, th, w), feats.dtype),
+        grid=(b, g, nb),
+        in_specs=[
+            _band_spec(f, th + 2, w),
+            _smem_spec(jnp.asarray(multi_m, jnp.float32).shape),
+        ],
+        out_specs=_band_spec(4, th, w),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM),
+        interpret=interpret,
+    )(fb, jnp.asarray(multi_m, jnp.float32))
+    return out.reshape(b, g, 4, h, w)

@@ -21,12 +21,13 @@ including the edge weights (tuple of E lane-aligned arrays, pre-repeated
 over node features — see ops.graph flat section; 2-3x faster than the
 grouped (B,H,W,G,E) layout on v5e). Solving is linear in the signal given
 the edge weights, so the whole unroll fuses into one XLA stencil pipeline
-per scale; `use_pallas` routes the unroll through the hand-fused band
-kernels in ops.pallas.solver_unroll.
+per scale; `use_pallas_unroll` routes the unroll through the fused CHW
+band kernels in ops.pallas.solver_chw.
 """
 
 from __future__ import annotations
 
+import functools
 from typing import Sequence
 
 import jax.numpy as jnp
@@ -72,6 +73,12 @@ class MixtureGTVGLR(nn.Module):
     # (measured: the whole solver costs ~4x the sum of its ops). Numerics
     # are unchanged — optimization_barrier is an identity.
     fusion_cuts: bool = True
+    # Inference fast path: run the unroll through the fused CHW Pallas
+    # kernels (ops/pallas/solver_chw.py — space on lanes, compact per-graph
+    # edge-weight planes). Falls back to the jnp path when shapes don't
+    # qualify (see _chw_ok) or under interpret-less autodiff (the kernels
+    # have no VJP; the trainer keeps the jnp path).
+    use_pallas_unroll: bool = False
 
     def setup(self):
         g = self.n_graphs
@@ -153,7 +160,112 @@ class MixtureGTVGLR(nn.Module):
 
         return jax.lax.optimization_barrier(t)
 
+    def _chw_ok(self, shape) -> bool:
+        """The CHW kernels need cross-4 edges, H and H/2 multiples of 8
+        (row bands), and W, W/2 multiples of 128 (full lanes; padding
+        support would lift this)."""
+        _, h, w, _ = shape
+        return (self.window == "cross4"
+                and h % 16 == 0 and w % 256 == 0
+                and (h // 2) % 8 == 0)
+
+    def _forward_chw(self, patchs: jnp.ndarray) -> jnp.ndarray:
+        """The same unroll routed through the fused CHW Pallas kernels
+        (ops/pallas/solver_chw.py). Numerics match the jnp path to bf16
+        tolerance; every step cites the same reference lines."""
+        from irdu_tpu.ops.pallas.solver_chw import (
+            _stats_pg,
+            box_down_chw,
+            box_up_chw,
+            edge_weights_chw,
+            gg_matvec_chw,
+            gtv_rethresh_chw,
+        )
+
+        import jax
+
+        b, h, w, c = patchs.shape
+        g, f = self.n_graphs, self.n_node_fts
+        h2, w2 = h // 2, w // 2
+        interp = jax.default_backend() != "tpu"  # CPU tests run interpreted
+
+        def chw(a):
+            return jnp.transpose(a, (0, 3, 1, 2))
+
+        # feature heads stay NHWC (1×1 convs ride the MXU), then transpose
+        f00 = chw(self.feat00(patchs))
+        f01 = chw(self.feat01_point(self.feat01_down(patchs)))
+        ew = functools.partial(edge_weights_chw, n_graphs=g, interpret=interp)
+        w_gtv00 = ew(f00[:, :c], self.gtv00.multi_m, true_h=h, true_w=w)
+        w_glr00 = ew(f00[:, c:], self.glr00.multi_m, true_h=h, true_w=w)
+        w_gtv01 = ew(f01[:, :c], self.gtv01.multi_m, true_h=h2, true_w=w2)
+        w_glr01 = ew(f01[:, c:], self.glr01.multi_m, true_h=h2, true_w=w2)
+
+        pglr00 = _stats_pg(self.glr00.stats, g, f)
+        pgtv00 = _stats_pg(self.gtv00.stats, g, f)
+        pglr01 = _stats_pg(self.glr01.stats, g, f)
+        pgtv01 = _stats_pg(self.gtv01.stats, g, f)
+        pg = lambda v: jnp.exp(v)
+        mu00, mu01 = pg(self.muys00), pg(self.muys01)
+        ro00, ro01 = pg(self.ro00), pg(self.ro01)
+        gamma00, gamma01 = pg(self.gamma00), pg(self.gamma01)
+
+        mv0 = functools.partial(
+            gg_matvec_chw, w_glr=w_glr00, w_gtv=w_gtv00, pglr=pglr00,
+            pgtv=pgtv00, n_graphs=g, true_h=h, true_w=w, interpret=interp)
+        mv1 = functools.partial(
+            gg_matvec_chw, w_glr=w_glr01, w_gtv=w_gtv01, pglr=pglr01,
+            pgtv=pgtv01, n_graphs=g, true_h=h2, true_w=w2,
+            add_identity=False, interpret=interp)
+
+        def matvec(x):
+            """A·x (reference apply_lightweight_transformer, v1x0.py:642-682)."""
+            return (mv0(x, mu=mu00, ro=ro00)
+                    + box_up_chw(mv1(box_down_chw(x), mu=mu01, ro=ro01)))
+
+        def alpha_c(i):
+            a = repeat_per_graph(self.alpha_cgd[i], f)
+            return a[None, :, None, None]
+
+        def beta_c(i):
+            a = repeat_per_graph(self.beta_cgd[i], f)
+            return a[None, :, None, None]
+
+        y = chw(patchs)
+        zero = jnp.zeros_like(mu00)
+
+        # ADMM init RHS: y + ρ₀·Cᵀ₀C₀y + ρ₁·Up(Cᵀ₁C₁·Down y)  (v1x0.py:738-749)
+        rhs_a = (mv0(y, mu=zero, ro=ro00, with_glr=False)
+                 + box_up_chw(mv1(box_down_chw(y), mu=zero, ro=ro01,
+                                  with_glr=False)))
+
+        # CG step 1 (v1x0.py:751-753) — x₀ = RHS itself
+        out00 = rhs_a
+        res00 = out00 - matvec(out00)
+        out01 = out00 + alpha_c(0) * res00
+
+        # ADMM re-threshold + new RHS (v1x0.py:757-781)
+        rhs_b = (gtv_rethresh_chw(out01, y, w_gtv00, pgtv00, gamma00, ro00,
+                                  n_graphs=g, true_h=h, true_w=w,
+                                  interpret=interp)
+                 + box_up_chw(gtv_rethresh_chw(
+                     box_down_chw(out01), None, w_gtv01, pgtv01, gamma01,
+                     ro01, n_graphs=g, true_h=h2, true_w=w2,
+                     interpret=interp)))
+
+        # CG steps 2–3 with β-momentum (β[1] unused by design, v1x0.py:784-790)
+        res01 = rhs_b - matvec(out01)
+        out02 = out01 + alpha_c(1) * res01
+        res03 = rhs_b - matvec(out02)
+        update03 = res03 + beta_c(2) * res01
+        out03 = out02 + alpha_c(2) * update03
+
+        return jnp.transpose(out03, (0, 2, 3, 1))
+
     def __call__(self, patchs: jnp.ndarray) -> jnp.ndarray:
+        if self.use_pallas_unroll and self._chw_ok(patchs.shape):
+            return self._forward_chw(patchs)
+
         d, g = self.deltas, self.n_graphs
 
         # edge weights at both scales, for GTV and GLR

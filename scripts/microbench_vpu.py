@@ -39,21 +39,25 @@ def make_call(body, n_in=1, tile=(TH, W, C)):
     return run
 
 
-def bench(run, *xs, n=30):
-    @jax.jit
-    def chain(*a):
-        def bd(c, _):
-            return run(*((c,) + a[1:])).astype(c.dtype), None
-        z, _ = jax.lax.scan(bd, a[0], None, length=n)
-        return z
-    chain(*xs).block_until_ready()
-    float(jnp.mean(chain(*xs).astype(jnp.float32)))
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
+def bench(run, *xs, n0=10, n1=60):
+    """Marginal cost per iteration via paired scan lengths (removes the
+    ~27 ms fixed per-call tunnel cost)."""
+    def t_at(n):
+        @jax.jit
+        def chain(*a):
+            def bd(c, _):
+                return run(*((c,) + a[1:])).astype(c.dtype), None
+            z, _ = jax.lax.scan(bd, a[0], None, length=n)
+            return z
+        chain(*xs).block_until_ready()
         float(jnp.mean(chain(*xs).astype(jnp.float32)))
-        best = min(best, (time.perf_counter() - t0) / n)
-    return best
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(jnp.mean(chain(*xs).astype(jnp.float32)))
+            best = min(best, time.perf_counter() - t0)
+        return best
+    return (t_at(n1) - t_at(n0)) / (n1 - n0)
 
 
 def main():

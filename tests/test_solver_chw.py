@@ -1,0 +1,188 @@
+"""Interpret-mode parity of the CHW solver kernels (ops/pallas/solver_chw)
+against the authoritative flat-channel jnp ops (ops/graph)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from irdu_tpu.ops.graph import (
+    extract_edge_weights,
+    glr_apply,
+    gtv_apply,
+    op_c,
+    op_c_transpose,
+    per_graph_scale,
+    soft_threshold,
+)
+from irdu_tpu.ops.pallas.solver_chw import (
+    _stats_pg,
+    edge_weights_chw,
+    gg_matvec_chw,
+    gtv_rethresh_chw,
+)
+from irdu_tpu.ops.windows import WINDOWS
+
+DELTAS = WINDOWS["cross4"]
+G, F = 2, 3
+C = G * F
+H, W = 24, 32
+
+
+def _rand_stats(rng):
+    return {k: jnp.asarray(rng.randn(C) * 0.3 + v, jnp.float32)
+            for k, v in (("p01", 1.0), ("p02a", 0.5), ("p02b", 0.5), ("p03", 0.5))}
+
+
+def _mk(rng, h=H, w=W):
+    x = jnp.asarray(rng.randn(1, h, w, C), jnp.float32)
+    feats = jnp.asarray(rng.randn(1, h, w, C), jnp.float32)
+    multi_m = jnp.asarray(rng.rand(G, F) * 2 + 0.5, jnp.float32)
+    weights, _ = extract_edge_weights(feats, multi_m, DELTAS, G)
+    return x, feats, multi_m, weights
+
+
+def _to_chw(a):  # (B,H,W,C) -> (B,C,H,W)
+    return jnp.transpose(a, (0, 3, 1, 2))
+
+
+def _w_chw(weights):  # (B,H,W,G,E) -> (B,G,E,H,W)
+    return jnp.transpose(weights, (0, 3, 4, 1, 2))
+
+
+def _pad(a, ph, pw, axes=(1, 2)):
+    pad = [(0, 0)] * a.ndim
+    pad[axes[0]] = (0, ph)
+    pad[axes[1]] = (0, pw)
+    return jnp.pad(a, pad, mode="edge")
+
+
+def test_edge_weights_chw_matches():
+    rng = np.random.RandomState(0)
+    _, feats, multi_m, weights = _mk(rng)
+    out = edge_weights_chw(_to_chw(feats), multi_m,
+                           n_graphs=G, true_h=H, true_w=W, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(_w_chw(weights)),
+                               atol=1e-5)
+
+
+def test_matvec_chw_matches():
+    rng = np.random.RandomState(1)
+    x, feats, multi_m, w_gtv = _mk(rng)
+    w_glr, _ = extract_edge_weights(feats + 0.3, multi_m, DELTAS, G)
+    sglr, sgtv = _rand_stats(rng), _rand_stats(rng)
+    mu = jnp.asarray(rng.rand(G) + 0.1, jnp.float32)
+    ro = jnp.asarray(rng.rand(G) + 0.1, jnp.float32)
+
+    ref = (x
+           + per_graph_scale(glr_apply(x, w_glr, DELTAS, G, sglr), mu)
+           + per_graph_scale(gtv_apply(x, w_gtv, DELTAS, G, sgtv), ro))
+    out = gg_matvec_chw(
+        _to_chw(x), _w_chw(w_glr), _w_chw(w_gtv),
+        _stats_pg(sglr, G, F), _stats_pg(sgtv, G, F),
+        mu, ro,
+        n_graphs=G, true_h=H, true_w=W, interpret=True)
+    np.testing.assert_allclose(np.asarray(_to_chw(ref)), np.asarray(out),
+                               atol=2e-4)
+
+
+def test_matvec_chw_no_identity_no_stats():
+    rng = np.random.RandomState(2)
+    x, feats, multi_m, w_gtv = _mk(rng)
+    w_glr, _ = extract_edge_weights(feats - 0.1, multi_m, DELTAS, G)
+    mu = jnp.asarray(rng.rand(G) + 0.1, jnp.float32)
+    ro = jnp.asarray(rng.rand(G) + 0.1, jnp.float32)
+    ref = (per_graph_scale(glr_apply(x, w_glr, DELTAS, G, None), mu)
+           + per_graph_scale(gtv_apply(x, w_gtv, DELTAS, G, None), ro))
+    out = gg_matvec_chw(
+        _to_chw(x), _w_chw(w_glr), _w_chw(w_gtv), None, None,
+        mu, ro,
+        n_graphs=G, true_h=H, true_w=W, add_identity=False, interpret=True)
+    np.testing.assert_allclose(np.asarray(_to_chw(ref)), np.asarray(out),
+                               atol=2e-4)
+
+
+def test_matvec_chw_padded_matches_true_extent():
+    """Lane-padded W / band-padded H: the kernel must reproduce the
+    true-extent result in the valid region."""
+    rng = np.random.RandomState(3)
+    x, feats, multi_m, w_gtv = _mk(rng)
+    w_glr, _ = extract_edge_weights(feats * 1.1, multi_m, DELTAS, G)
+    sglr, sgtv = _rand_stats(rng), _rand_stats(rng)
+    mu = jnp.asarray(rng.rand(G) + 0.1, jnp.float32)
+    ro = jnp.asarray(rng.rand(G) + 0.1, jnp.float32)
+    ref = (x
+           + per_graph_scale(glr_apply(x, w_glr, DELTAS, G, sglr), mu)
+           + per_graph_scale(gtv_apply(x, w_gtv, DELTAS, G, sgtv), ro))
+
+    ph, pw = 8, 16
+    xp = _pad(_to_chw(x), ph, pw, axes=(2, 3))
+    wglr_p = _pad(_w_chw(w_glr), ph, pw, axes=(3, 4))
+    wgtv_p = _pad(_w_chw(w_gtv), ph, pw, axes=(3, 4))
+    out = gg_matvec_chw(
+        xp, wglr_p, wgtv_p, _stats_pg(sglr, G, F), _stats_pg(sgtv, G, F),
+        mu, ro,
+        n_graphs=G, true_h=H, true_w=W, interpret=True)
+    np.testing.assert_allclose(np.asarray(_to_chw(ref)),
+                               np.asarray(out[:, :, :H, :W]), atol=2e-4)
+
+
+def test_rethresh_chw_matches():
+    rng = np.random.RandomState(4)
+    x, feats, multi_m, w_gtv = _mk(rng)
+    sgtv = _rand_stats(rng)
+    gamma = jnp.asarray(rng.rand(G) * 0.5 + 0.05, jnp.float32)
+    ro = jnp.asarray(rng.rand(G) + 0.1, jnp.float32)
+    y = jnp.asarray(rng.randn(1, H, W, C), jnp.float32)
+
+    gamma_c = jnp.repeat(gamma, F)
+    eps = op_c(x, w_gtv, DELTAS, G, sgtv)
+    t = tuple(2.0 * soft_threshold(e, gamma_c) - e for e in eps)
+    ref = y + per_graph_scale(op_c_transpose(t, w_gtv, DELTAS, G, sgtv), ro)
+
+    out = gtv_rethresh_chw(
+        _to_chw(x), _to_chw(y), _w_chw(w_gtv), _stats_pg(sgtv, G, F),
+        gamma, ro,
+        n_graphs=G, true_h=H, true_w=W, interpret=True)
+    np.testing.assert_allclose(np.asarray(_to_chw(ref)), np.asarray(out),
+                               atol=2e-4)
+
+
+def test_full_solver_chw_matches_jnp():
+    """MixtureGTVGLR with use_pallas_unroll (interpreted on CPU) must match
+    the authoritative jnp path on a qualifying shape."""
+    from irdu_tpu.solvers.gtv_glr import MixtureGTVGLR
+
+    rng = np.random.RandomState(6)
+    h, w = 16, 256
+    x = jnp.asarray(rng.randn(1, h, w, C) * 0.3, jnp.float32)
+    ref_m = MixtureGTVGLR(n_graphs=G, n_node_fts=F)
+    params = ref_m.init(jax.random.PRNGKey(0), x)
+    # randomize the log-params so μ/ρ/γ are not at their tiny inits
+    params = jax.tree_util.tree_map(
+        lambda a: a + 0.05 * jnp.asarray(np.random.RandomState(7).randn(*a.shape),
+                                         a.dtype), params)
+    ref = ref_m.apply(params, x)
+    out = MixtureGTVGLR(n_graphs=G, n_node_fts=F,
+                        use_pallas_unroll=True).apply(params, x)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                               atol=5e-4, rtol=1e-3)
+
+
+def test_rethresh_chw_no_y():
+    rng = np.random.RandomState(5)
+    x, feats, multi_m, w_gtv = _mk(rng)
+    gamma = jnp.asarray(rng.rand(G) * 0.5 + 0.05, jnp.float32)
+    ro = jnp.asarray(rng.rand(G) + 0.1, jnp.float32)
+    gamma_c = jnp.repeat(gamma, F)
+    eps = op_c(x, w_gtv, DELTAS, G, None)
+    t = tuple(2.0 * soft_threshold(e, gamma_c) - e for e in eps)
+    ref = per_graph_scale(op_c_transpose(t, w_gtv, DELTAS, G, None), ro)
+    out = gtv_rethresh_chw(
+        _to_chw(x), None, _w_chw(w_gtv), None,
+        gamma, ro,
+        n_graphs=G, true_h=H, true_w=W, interpret=True)
+    np.testing.assert_allclose(np.asarray(_to_chw(ref)), np.asarray(out),
+                               atol=2e-4)
