@@ -6,6 +6,15 @@ Prints ONE JSON line:
 Baseline: the reference PyTorch model runs 512×512 color inference in
 ~0.37 s on its GPU ≈ 0.71 MP/s (BASELINE.md; GGTV_GGLR_v1.0/README.ipynb
 cell 12/16 outputs). vs_baseline is our MP/s divided by that.
+
+Methodology (PERF.md "round-2 measurement recalibration"): this rig has a
+~27 ms fixed cost per blocked jitted call through the remote-execution
+tunnel, and `block_until_ready` alone can return before compute finishes.
+So the steady-state per-frame cost is measured as a *marginal*: time a
+data-dependent `lax.scan` chain of the forward at two lengths (with a
+host readback of a scalar derived from the result, which cannot lie) and
+take the slope. Best of several repetitions; the two scan programs hit
+the persistent compile cache after the first run.
 """
 
 from __future__ import annotations
@@ -20,11 +29,38 @@ import numpy as np
 BASELINE_MP_PER_S = 0.71
 
 
+def _chain(fwd, params, n):
+    @jax.jit
+    def run(z):
+        def body(c, _):
+            return fwd(params, c), None
+        out, _ = jax.lax.scan(body, z, None, length=n)
+        return out
+    return run
+
+
+def marginal_seconds(fwd, params, x, n0=3, n1=13, reps=3):
+    times = []
+    for n in (n0, n1):
+        run = _chain(fwd, params, n)
+        run(x).block_until_ready()                       # compile
+        float(jnp.mean(run(x).astype(jnp.float32)))      # full warmup
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(jnp.mean(run(x).astype(jnp.float32)))  # host readback sync
+            best = min(best, time.perf_counter() - t0)
+        times.append(best)
+    return (times[1] - times[0]) / (n1 - n0)
+
+
 def main():
     from irdu_tpu.models.flagship import AbstractMultiScaleGraphFilter, flagship_config
 
-    # inference config: bf16 params/activations + fused Pallas blocks
-    model = AbstractMultiScaleGraphFilter(use_pallas_blocks=True, **flagship_config())
+    # inference config: bf16 params/activations + fused Pallas gated-block
+    # and CHW solver kernels
+    model = AbstractMultiScaleGraphFilter(
+        use_pallas_blocks=True, use_pallas_solver=True, **flagship_config())
 
     h = w = 512
     batch = 1
@@ -33,25 +69,11 @@ def main():
     params = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16), params)
     x = x32.astype(jnp.bfloat16)
 
-    fwd = jax.jit(model.apply)
-    fwd(params, x).block_until_ready()  # compile + warmup
+    # two independent estimates; report the best (they should agree within
+    # a few percent — PERF.md tracks the spread)
+    t = min(marginal_seconds(model.apply, params, x) for _ in range(2))
 
-    # data-dependent chaining + a HOST READBACK of the result: through this
-    # remote-execution tunnel, block_until_ready can return before compute
-    # finishes (a free-running loop "measures" >1000 MP/s); transferring a
-    # scalar derived from the final value cannot lie.
-    float(jnp.mean(fwd(params, x).astype(jnp.float32)))  # full warmup incl. mean
-    n_iters = 10
-    best = float("inf")
-    for _ in range(3):
-        z = x
-        t0 = time.perf_counter()
-        for _ in range(n_iters):
-            z = fwd(params, z)
-        float(jnp.mean(z.astype(jnp.float32)))  # host sync
-        best = min(best, (time.perf_counter() - t0) / n_iters)
-
-    mp_per_s = (batch * h * w) / best / 1e6
+    mp_per_s = (batch * h * w) / t / 1e6
     print(json.dumps({
         "metric": "flagship_lgu_inference_512x512_bf16_pallas",
         "value": round(mp_per_s, 3),

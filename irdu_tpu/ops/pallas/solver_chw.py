@@ -131,10 +131,15 @@ def _stats2_t(v, p, g, f, shz):
             + p[g, 3, f] * (4.0 * v - u0 - d0 - l0 - r0))
 
 
-def _grow_rows(w2, d):
-    """Align a (tile+2·halo_w, W) weight plane onto the x band's row grid
-    by replicating its edge rows (the extra rows are discarded halo)."""
-    return jnp.concatenate([w2[:1]] * d + [w2] + [w2[-1:]] * d, axis=0)
+def _assemble(body, halos, halo, grow_to=0):
+    """Stitch a (tile, W) body and its (2·halo, W) halo rows back into the
+    (tile+2·halo, W) band; optionally grow further by replicating edge rows
+    (to align arrays with different halo depths — the grown rows are
+    discarded halo)."""
+    d = max(grow_to - halo, 0)
+    parts = ([halos[:1]] * d + [halos[:halo], body, halos[halo:]]
+             + [halos[-1:]] * d)
+    return jnp.concatenate(parts, axis=0)
 
 
 # ---------------------------------------------------------------------------
@@ -142,7 +147,8 @@ def _grow_rows(w2, d):
 # ---------------------------------------------------------------------------
 
 
-def _matvec_kernel(x_ref, wglr_ref, wgtv_ref, pglr_ref, pgtv_ref, scal_ref,
+def _matvec_kernel(x_ref, xh_ref, wglr_ref, wglrh_ref, wgtv_ref, wgtvh_ref,
+                   pglr_ref, pgtv_ref, scal_ref,
                    out_ref, *, n_f, tile_h, true_h, true_w,
                    no_glr_stats, no_gtv_stats, add_identity, with_glr,
                    interpret):
@@ -156,17 +162,19 @@ def _matvec_kernel(x_ref, wglr_ref, wgtv_ref, pglr_ref, pgtv_ref, scal_ref,
     shz = functools.partial(sh, zero=True)
     pglr = None if no_glr_stats else pglr_ref
     pgtv = None if no_gtv_stats else pgtv_ref
-    d = _HALO_X - _HALO_W
-    wgtv = [_grow_rows(wgtv_ref[0, 0, e, 0].astype(jnp.float32), d)
-            for e in range(4)]
+    wgtv = [_assemble(wgtv_ref[0, 0, e].astype(jnp.float32),
+                      wgtvh_ref[0, 0, e, 0].astype(jnp.float32),
+                      _HALO_W, grow_to=_HALO_X) for e in range(4)]
     if with_glr:
-        wglr = [_grow_rows(wglr_ref[0, 0, e, 0].astype(jnp.float32), d)
-                for e in range(4)]
+        wglr = [_assemble(wglr_ref[0, 0, e].astype(jnp.float32),
+                          wglrh_ref[0, 0, e, 0].astype(jnp.float32),
+                          _HALO_W, grow_to=_HALO_X) for e in range(4)]
         mu = scal_ref[gidx, 0]
     ro = scal_ref[gidx, 1]
 
     for f in range(n_f):
-        x = x_ref[0, 0, f, 0].astype(jnp.float32)          # (rows, W)
+        x = _assemble(x_ref[0, 0, f], xh_ref[0, 0, f, 0],
+                      _HALO_X).astype(jnp.float32)         # (rows, W)
 
         # GTV: statsᵀ(Σ_e [w_e·ε_e − shift₋ₑ⁰(w_e·ε_e)]),
         #      ε_e = w_e·(s₂ − shift_e s₂)
@@ -191,10 +199,11 @@ def _matvec_kernel(x_ref, wglr_ref, wgtv_ref, pglr_ref, pgtv_ref, scal_ref,
 
         if add_identity:
             out = out + x
-        out_ref[0, 0, f, 0] = out[_HALO_X:_HALO_X + tile_h].astype(out_ref.dtype)
+        out_ref[0, 0, f] = out[_HALO_X:_HALO_X + tile_h].astype(out_ref.dtype)
 
 
-def _rethresh_kernel(x_ref, y_ref, wgtv_ref, pgtv_ref, scal_ref, out_ref,
+def _rethresh_kernel(x_ref, xh_ref, y_ref, wgtv_ref, wgtvh_ref, pgtv_ref,
+                     scal_ref, out_ref,
                      *, n_f, tile_h, true_h, true_w, no_gtv_stats,
                      include_y, interpret):
     gidx = pl.program_id(1)
@@ -206,14 +215,15 @@ def _rethresh_kernel(x_ref, y_ref, wgtv_ref, pgtv_ref, scal_ref, out_ref,
                            interpret=interpret)
     shz = functools.partial(sh, zero=True)
     pgtv = None if no_gtv_stats else pgtv_ref
-    d = _HALO_X - _HALO_W
-    wgtv = [_grow_rows(wgtv_ref[0, 0, e, 0].astype(jnp.float32), d)
-            for e in range(4)]
+    wgtv = [_assemble(wgtv_ref[0, 0, e].astype(jnp.float32),
+                      wgtvh_ref[0, 0, e, 0].astype(jnp.float32),
+                      _HALO_W, grow_to=_HALO_X) for e in range(4)]
     gamma = scal_ref[gidx, 0]
     ro = scal_ref[gidx, 1]
 
     for f in range(n_f):
-        x = x_ref[0, 0, f, 0].astype(jnp.float32)
+        x = _assemble(x_ref[0, 0, f], xh_ref[0, 0, f, 0],
+                      _HALO_X).astype(jnp.float32)
         s2 = _stats2(x, pgtv, gidx, f, sh)
         acc = None
         for e, (dh, dw) in enumerate(CROSS4):
@@ -228,12 +238,12 @@ def _rethresh_kernel(x_ref, y_ref, wgtv_ref, pgtv_ref, scal_ref, out_ref,
             acc = term if acc is None else acc + term
         out = (ro * _stats2_t(acc, pgtv, gidx, f, shz))[_HALO_X:_HALO_X + tile_h]
         if include_y:
-            out = out + y_ref[0, 0, f, 0].astype(jnp.float32)
-        out_ref[0, 0, f, 0] = out.astype(out_ref.dtype)
+            out = out + y_ref[0, 0, f].astype(jnp.float32)
+        out_ref[0, 0, f] = out.astype(out_ref.dtype)
 
 
-def _edgew_kernel(f_ref, m_ref, out_ref, *, n_f, tile_h, true_h, true_w,
-                  interpret):
+def _edgew_kernel(f_ref, fh_ref, m_ref, out_ref, *, n_f, tile_h, true_h,
+                  true_w, interpret):
     gidx = pl.program_id(1)
     i = pl.program_id(2)
     rows = tile_h + 2
@@ -242,13 +252,13 @@ def _edgew_kernel(f_ref, m_ref, out_ref, *, n_f, tile_h, true_h, true_w,
     sh = functools.partial(_shift, grows=grows, true_h=true_h, true_w=true_w,
                            interpret=interpret)
 
+    xs = [_assemble(f_ref[0, 0, f], fh_ref[0, 0, f, 0], 1).astype(jnp.float32)
+          for f in range(n_f)]
     ss = None
-    for f in range(n_f):
-        x = f_ref[0, 0, f, 0].astype(jnp.float32)
+    for x in xs:
         ss = x * x if ss is None else ss + x * x
     inv = 1.0 / jnp.maximum(jnp.sqrt(ss), 1e-12)
-    ts = [f_ref[0, 0, f, 0].astype(jnp.float32) * inv * m_ref[gidx, f]
-          for f in range(n_f)]
+    ts = [x * inv * m_ref[gidx, f] for f, x in enumerate(xs)]
 
     sims = []
     for dh, dw in CROSS4:
@@ -262,7 +272,7 @@ def _edgew_kernel(f_ref, m_ref, out_ref, *, n_f, tile_h, true_h, true_w,
     exps = [jnp.exp(s - mx) for s in sims]
     den = exps[0] + exps[1] + exps[2] + exps[3]
     for e in range(4):
-        out_ref[0, 0, e, 0] = (exps[e] / den).astype(
+        out_ref[0, 0, e] = (exps[e] / den).astype(
             out_ref.dtype)[1:1 + tile_h]
 
 
@@ -292,19 +302,24 @@ def box_up_chw(x):
 # ---------------------------------------------------------------------------
 
 
-def _band_rows(h, tile_h, halo):
+def _halo_rows_idx(h, tile_h, halo):
+    """Per band: the halo rows [band·th−halo, band·th) ++ [end, end+halo),
+    clamped to the image."""
     nb = h // tile_h
-    idx = (np.arange(nb)[:, None] * tile_h
-           + np.arange(-halo, tile_h + halo)[None, :])
+    idx = np.concatenate([
+        np.arange(nb)[:, None] * tile_h + np.arange(-halo, 0)[None, :],
+        np.arange(nb)[:, None] * tile_h + tile_h + np.arange(0, halo)[None, :],
+    ], axis=1)
     return jnp.asarray(np.clip(idx, 0, h - 1).reshape(-1))
 
 
-def _gather_bands(x, tile_h, halo):
-    """(B, G, K, H, W) → (B, G, K, nb, tile_h+2·halo, W), clamped rows."""
+def _gather_halos(x, tile_h, halo):
+    """(B, G, K, H, W) → (B, G, K, nb, 2·halo, W): only the halo rows are
+    copied (clamped); the band bodies block straight from x with no copy."""
     b, g, k, h, w = x.shape
     nb = h // tile_h
-    xb = jnp.take(x, _band_rows(h, tile_h, halo), axis=3)
-    return xb.reshape(b, g, k, nb, tile_h + 2 * halo, w)
+    xh = jnp.take(x, _halo_rows_idx(h, tile_h, halo), axis=3)
+    return xh.reshape(b, g, k, nb, 2 * halo, w)
 
 
 def _pick_tile_h(h):
@@ -314,9 +329,25 @@ def _pick_tile_h(h):
     raise ValueError(f"H={h} not a multiple of 8")
 
 
-def _band_spec(k, rows, w):
+def _body_spec(k, th, w):
+    """Non-overlapping band body straight out of a (B, G, K, H, W) array —
+    no host-side copy."""
+    return pl.BlockSpec((1, 1, k, th, w),
+                        lambda b, g, i: (b, g, 0, i, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _halo_spec(k, rows, w):
+    """Per-band halo rows from a (B, G, K, nb, 2·halo, W) gather."""
     return pl.BlockSpec((1, 1, k, 1, rows, w),
                         lambda b, g, i: (b, g, 0, i, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _dummy_spec(k, rows, w):
+    """For unused dummy operands: always block 0 (never out of bounds)."""
+    return pl.BlockSpec((1, 1, k, rows, w),
+                        lambda b, g, i: (b, g, 0, 0, 0),
                         memory_space=pltpu.VMEM)
 
 
@@ -356,12 +387,14 @@ def gg_matvec_chw(x, w_glr, w_gtv, pglr, pgtv, mu, ro, *, n_graphs,
     f = c // g
     th = _pick_tile_h(h)
     nb = h // th
-    xb = _gather_bands(x.reshape(b, g, f, h, w), th, _HALO_X)
-    wgtv_b = _gather_bands(w_gtv, th, _HALO_W)
+    xv = x.reshape(b, g, f, h, w)
+    xh = _gather_halos(xv, th, _HALO_X)
+    wgtv_h = _gather_halos(w_gtv, th, _HALO_W)
     if with_glr:
-        wglr_b = _gather_bands(w_glr, th, _HALO_W)
+        wglr_in, wglr_h = w_glr, _gather_halos(w_glr, th, _HALO_W)
     else:
-        wglr_b = jnp.zeros((b, g, 4, nb, 1, w), x.dtype)
+        wglr_in = jnp.zeros((b, g, 4, 8, w), x.dtype)
+        wglr_h = jnp.zeros((b, g, 4, 1, 2, w), x.dtype)
 
     dummy = jnp.zeros((g, 4, f), jnp.float32)
     pglr_in = dummy if pglr is None else pglr
@@ -375,20 +408,26 @@ def gg_matvec_chw(x, w_glr, w_gtv, pglr, pgtv, mu, ro, *, n_graphs,
         add_identity=add_identity, with_glr=with_glr, interpret=interpret)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, g, f, nb, th, w), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, g, f, h, w), x.dtype),
         grid=(b, g, nb),
         in_specs=[
-            _band_spec(f, th + 2 * _HALO_X, w),
-            _band_spec(4, th + 2 * _HALO_W if with_glr else 1, w),
-            _band_spec(4, th + 2 * _HALO_W, w),
+            _body_spec(f, th, w),
+            _halo_spec(f, 2 * _HALO_X, w),
+            _body_spec(4, th, w) if with_glr else _dummy_spec(4, 8, w),
+            _halo_spec(4, 2 * _HALO_W, w) if with_glr
+            else pl.BlockSpec((1, 1, 4, 1, 2, w),
+                              lambda b, g, i: (b, g, 0, 0, 0, 0),
+                              memory_space=pltpu.VMEM),
+            _body_spec(4, th, w),
+            _halo_spec(4, 2 * _HALO_W, w),
             _smem_spec(pglr_in.shape),
             _smem_spec(pgtv_in.shape),
             _smem_spec(scal.shape),
         ],
-        out_specs=_band_spec(f, th, w),
+        out_specs=_body_spec(f, th, w),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM),
         interpret=interpret,
-    )(xb, wglr_b, wgtv_b, pglr_in, pgtv_in, scal)
+    )(xv, xh, wglr_in, wglr_h, w_gtv, wgtv_h, pglr_in, pgtv_in, scal)
     return out.reshape(b, c, h, w)
 
 
@@ -403,13 +442,14 @@ def gtv_rethresh_chw(x, y, w_gtv, pgtv, gamma, ro, *, n_graphs,
     f = c // g
     th = _pick_tile_h(h)
     nb = h // th
-    xb = _gather_bands(x.reshape(b, g, f, h, w), th, _HALO_X)
-    wgtv_b = _gather_bands(w_gtv, th, _HALO_W)
+    xv = x.reshape(b, g, f, h, w)
+    xh = _gather_halos(xv, th, _HALO_X)
+    wgtv_h = _gather_halos(w_gtv, th, _HALO_W)
     include_y = y is not None
     if include_y:
-        yb = y.reshape(b, g, f, nb, th, w)
+        yv = y.reshape(b, g, f, h, w)
     else:
-        yb = jnp.zeros((b, g, 1, nb, 1, w), x.dtype)
+        yv = jnp.zeros((b, g, 1, 8, w), x.dtype)
 
     dummy = jnp.zeros((g, 4, f), jnp.float32)
     scal = jnp.stack([jnp.asarray(gamma, jnp.float32).reshape(-1),
@@ -419,19 +459,21 @@ def gtv_rethresh_chw(x, y, w_gtv, pgtv, gamma, ro, *, n_graphs,
         no_gtv_stats=pgtv is None, include_y=include_y, interpret=interpret)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, g, f, nb, th, w), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, g, f, h, w), x.dtype),
         grid=(b, g, nb),
         in_specs=[
-            _band_spec(f, th + 2 * _HALO_X, w),
-            _band_spec(yb.shape[2], th if include_y else 1, w),
-            _band_spec(4, th + 2 * _HALO_W, w),
+            _body_spec(f, th, w),
+            _halo_spec(f, 2 * _HALO_X, w),
+            _body_spec(f, th, w) if include_y else _dummy_spec(1, 8, w),
+            _body_spec(4, th, w),
+            _halo_spec(4, 2 * _HALO_W, w),
             _smem_spec((pgtv if pgtv is not None else dummy).shape),
             _smem_spec(scal.shape),
         ],
-        out_specs=_band_spec(f, th, w),
+        out_specs=_body_spec(f, th, w),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM),
         interpret=interpret,
-    )(xb, yb, wgtv_b, pgtv if pgtv is not None else dummy, scal)
+    )(xv, xh, yv, w_gtv, wgtv_h, pgtv if pgtv is not None else dummy, scal)
     return out.reshape(b, c, h, w)
 
 
@@ -446,20 +488,22 @@ def edge_weights_chw(feats, multi_m, *, n_graphs, true_h, true_w,
     f = c // g
     th = _pick_tile_h(h)
     nb = h // th
-    fb = _gather_bands(feats.reshape(b, g, f, h, w), th, 1)
+    fv = feats.reshape(b, g, f, h, w)
+    fh = _gather_halos(fv, th, 1)
 
     kernel = functools.partial(_edgew_kernel, n_f=f, tile_h=th, true_h=true_h,
                                true_w=true_w, interpret=interpret)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, g, 4, nb, th, w), feats.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, g, 4, h, w), feats.dtype),
         grid=(b, g, nb),
         in_specs=[
-            _band_spec(f, th + 2, w),
+            _body_spec(f, th, w),
+            _halo_spec(f, 2, w),
             _smem_spec(jnp.asarray(multi_m, jnp.float32).shape),
         ],
-        out_specs=_band_spec(4, th, w),
+        out_specs=_body_spec(4, th, w),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM),
         interpret=interpret,
-    )(fb, jnp.asarray(multi_m, jnp.float32))
-    return out.reshape(b, g, 4, h, w)
+    )(fv, fh, jnp.asarray(multi_m, jnp.float32))
+    return out

@@ -36,7 +36,7 @@ def marginal(fn, x, n0=3, n1=13, reps=3):
 
 
 def main():
-    model = AbstractMultiScaleGraphFilter(use_pallas_blocks=True, **flagship_config())
+    model = AbstractMultiScaleGraphFilter(use_pallas_blocks=True, use_pallas_solver=True, **flagship_config())
     rng = np.random.RandomState(0)
     x32 = jnp.asarray(rng.rand(1, 512, 512, 3).astype(np.float32))
     params = jax.jit(model.init)(jax.random.PRNGKey(0), x32)
