@@ -162,8 +162,12 @@ class MixtureGTVGLR(nn.Module):
 
     def _chw_ok(self, shape) -> bool:
         """The CHW kernels need cross-4 edges, H and H/2 multiples of 8
-        (row bands), and W, W/2 multiples of 128 (full lanes; padding
-        support would lift this)."""
+        (row bands), and W, W/2 multiples of 128 (full lanes). Measured on
+        v5e: at W=128 (flagship scale2) the ~0.13 ms fixed cost per
+        pallas_call across the unroll's 14 calls outweighs the kernel win
+        and the jnp path is faster — so smaller scales deliberately fall
+        through (scripts/microbench: jnp 2.12 ms vs CHW 3.82 ms at
+        128²×192)."""
         _, h, w, _ = shape
         return (self.window == "cross4"
                 and h % 16 == 0 and w % 256 == 0
@@ -195,11 +199,19 @@ class MixtureGTVGLR(nn.Module):
         # feature heads stay NHWC (1×1 convs ride the MXU), then transpose
         f00 = chw(self.feat00(patchs))
         f01 = chw(self.feat01_point(self.feat01_down(patchs)))
-        ew = functools.partial(edge_weights_chw, n_graphs=g, interpret=interp)
-        w_gtv00 = ew(f00[:, :c], self.gtv00.multi_m, true_h=h, true_w=w)
-        w_glr00 = ew(f00[:, c:], self.glr00.multi_m, true_h=h, true_w=w)
-        w_gtv01 = ew(f01[:, :c], self.gtv01.multi_m, true_h=h2, true_w=w2)
-        w_glr01 = ew(f01[:, c:], self.glr01.multi_m, true_h=h2, true_w=w2)
+        # GTV and GLR features share the head output (B, 2C, H, W) with
+        # aligned (graph, feature) grouping — extract both ops' weights in
+        # ONE kernel call by treating them as 2G graphs.
+        ew = functools.partial(edge_weights_chw, n_graphs=2 * g,
+                               interpret=interp)
+        w00 = ew(f00, jnp.concatenate(
+            [self.gtv00.multi_m, self.glr00.multi_m], axis=0),
+            true_h=h, true_w=w)
+        w_gtv00, w_glr00 = w00[:, :g], w00[:, g:]
+        w01 = ew(f01, jnp.concatenate(
+            [self.gtv01.multi_m, self.glr01.multi_m], axis=0),
+            true_h=h2, true_w=w2)
+        w_gtv01, w_glr01 = w01[:, :g], w01[:, g:]
 
         pglr00 = _stats_pg(self.glr00.stats, g, f)
         pgtv00 = _stats_pg(self.gtv00.stats, g, f)

@@ -91,3 +91,28 @@ def test_run_benchmark_eval_sweep(tmp_path, rng):
     files = os.listdir(out_dir)
     assert any(f.endswith("_LGU_denoised.png") for f in files)
     assert any("_clean" in f for f in files) and any("_noisy" in f for f in files)
+
+
+def test_evaluate_pairs_batched_matches_sequential(rng):
+    """The batched/bucketed path (VERDICT r1 #7) preserves the protocol:
+    same index-order noise stream, same per-image PSNRs as the sequential
+    path at matching pad bucket, with mixed shapes and a short last batch."""
+    from irdu_tpu.eval.harness import evaluate_pairs_batched
+
+    def forward(batch):  # shape-preserving "denoiser": a fixed blur
+        out = batch.copy()
+        out[:, 1:-1] = (batch[:, :-2] + batch[:, 1:-1] + batch[:, 2:]) / 3.0
+        return out
+
+    images = [
+        (rng.rand(40, 56, 3) * 255).astype(np.uint8),
+        (rng.rand(40, 56, 3) * 255).astype(np.uint8),
+        (rng.rand(40, 56, 3) * 255).astype(np.uint8),
+        (rng.rand(24, 30, 3) * 255).astype(np.uint8),  # second bucket
+        (rng.rand(40, 50, 3) * 255).astype(np.uint8),  # pads into bucket 1
+    ]
+    seq = evaluate_pairs(forward, images, sigma=15.0, bucket=8)
+    bat = evaluate_pairs_batched(forward, images, sigma=15.0, bucket=8,
+                                 batch_size=2)
+    np.testing.assert_allclose(bat["psnr"], seq["psnr"], atol=1e-4)
+    assert bat["mp_per_s"] > 0
