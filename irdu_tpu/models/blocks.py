@@ -156,6 +156,7 @@ class LocalLowpassFilteringBlock(nn.Module):
     nsubnets: int = 1
     window: str = "cross4"
     use_pallas_solver: bool = False
+    eval_cg_iters: int = 3
 
     @nn.compact
     def __call__(self, x):
@@ -172,6 +173,7 @@ class LocalLowpassFilteringBlock(nn.Module):
             gamma_init=(0.0001, 0.0001),
             window=self.window,
             use_pallas_unroll=self.use_pallas_solver,
+            eval_cg_iters=self.eval_cg_iters,
             name="local_filter",
         )(x)
         return sw[0] * x + sw[1] * y

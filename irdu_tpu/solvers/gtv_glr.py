@@ -66,6 +66,12 @@ class MixtureGTVGLR(nn.Module):
     # + 1x1 expand (the no_latent_no_mixture GTVGLR head,
     # model_GLR_GTV_deep_v13_no_latent_no_mixture.py:612-697)
     n_cgd_iters: int = 3  # fixed in the reference (v1x0.py:544)
+    # Inference-time FLOP reduction (NOT in the reference): truncate the
+    # unroll after k CG steps (1 ≤ k ≤ 3). k=3 is the exact reference
+    # semantics; k=2 drops the last matvec (~25% of solver FLOPs), k=1
+    # additionally drops the ADMM re-threshold round. Quality impact is
+    # measured, not assumed — see PERF.md's PSNR-vs-MP/s table.
+    eval_cg_iters: int = 3
     # Cut XLA fusion at the edge weights and at every CG iterate. Without
     # the cuts XLA's producer-duplication heuristic recomputes the softmax
     # weight chains and earlier iterates into every consumer fusion, and
@@ -255,6 +261,8 @@ class MixtureGTVGLR(nn.Module):
         out00 = rhs_a
         res00 = out00 - matvec(out00)
         out01 = out00 + alpha_c(0) * res00
+        if self.eval_cg_iters == 1:
+            return jnp.transpose(out01, (0, 2, 3, 1))
 
         # ADMM re-threshold + new RHS (v1x0.py:757-781)
         rhs_b = (gtv_rethresh_chw(out01, y, w_gtv00, pgtv00, gamma00, ro00,
@@ -268,6 +276,8 @@ class MixtureGTVGLR(nn.Module):
         # CG steps 2–3 with β-momentum (β[1] unused by design, v1x0.py:784-790)
         res01 = rhs_b - matvec(out01)
         out02 = out01 + alpha_c(1) * res01
+        if self.eval_cg_iters == 2:
+            return jnp.transpose(out02, (0, 2, 3, 1))
         res03 = rhs_b - matvec(out02)
         update03 = res03 + beta_c(2) * res01
         out03 = out02 + alpha_c(2) * update03
@@ -312,6 +322,8 @@ class MixtureGTVGLR(nn.Module):
         out00 = self._cut(rhs_a)
         res00 = out00 - self._system_matvec(out00, w_gtv, w_glr, p)
         out01 = self._cut(out00 + self._alpha(0) * res00)
+        if self.eval_cg_iters == 1:
+            return out01
 
         # ADMM re-threshold + new RHS (v1x0.py:757-781)
         gamma00_c = self._chan(self.gamma00)
@@ -327,6 +339,8 @@ class MixtureGTVGLR(nn.Module):
         res01 = rhs_b - self._system_matvec(out01, w_gtv, w_glr, p)
         update01 = self._cut(res01)
         out02 = self._cut(out01 + self._alpha(1) * update01)
+        if self.eval_cg_iters == 2:
+            return out02
 
         res03 = rhs_b - self._system_matvec(out02, w_gtv, w_glr, p)
         update03 = res03 + self._beta(2) * update01
