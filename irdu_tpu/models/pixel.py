@@ -44,6 +44,8 @@ class MultiScaleSequenceDenoiser(nn.Module):
     muy_init: Sequence[float] = (0.1, 0.0, 0.0, 0.0)
     ro_init: Sequence[float] = (0.1, 0.0, 0.0, 0.0)
     gamma_init: Sequence[float] = (0.001, 0.0, 0.0, 0.0)
+    # inference-only fused CHW kernel path (see MixtureGTV.use_pallas_unroll)
+    use_pallas_solver: bool = False
 
     @nn.compact
     def __call__(self, patchs: jnp.ndarray) -> jnp.ndarray:
@@ -63,6 +65,7 @@ class MultiScaleSequenceDenoiser(nn.Module):
             muy_init=self.muy_init,
             ro_init=self.ro_init,
             gamma_init=self.gamma_init,
+            use_pallas_unroll=self.use_pallas_solver,
             name="mixtureGLR_block03",
         )(patchs)
         return sw[0] * patchs + sw[1] * y

@@ -50,26 +50,40 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Edge order must match ops.windows.WINDOWS["cross4"]:
+# Default window; edge order must match ops.windows.WINDOWS["cross4"]:
 # shift2d reads x[i+dh, j+dw].
 CROSS4 = ((-1, 0), (0, -1), (0, 1), (1, 0))
 
 _VMEM = 100 * 1024 * 1024  # v5e has 128 MB physical VMEM
 
-_HALO_X = 4   # stats(1) + op shift(1) + op_cT shift(1) + statsT(1)
-_HALO_W = 2
+
+def _radius(deltas):
+    return max(max(abs(dh), abs(dw)) for dh, dw in deltas)
+
+
+def _halo_x(deltas):
+    """x halo: op_c shift (r) + op_cT shift (r) + stats + statsᵀ (1 each)."""
+    return 2 * _radius(deltas) + 2
+
+
+def _halo_w(deltas):
+    """weight halo: rows where op_c/op_cT evaluate: r + statsᵀ(1)."""
+    return _radius(deltas) + 1
 
 
 # ---------------------------------------------------------------------------
-# in-kernel shift algebra — arrays are 2D (rows, W): rows sublane, W lane
+# in-kernel shift algebra — arrays are 2D (rows, W): rows sublane, W lane.
+# Multi-step shifts (|d| = 2 for the diamond-12 window) compose from unit
+# steps: composed edge-clamp == clamp and composed zero == zero. Reflect
+# does NOT compose at the outermost row — it is only ever needed at
+# distance 1 (the 3×3 stats stencil is the sole reflect consumer; the
+# graph ops' neighbour reads are always replicate/zero).
 # ---------------------------------------------------------------------------
 
 
-def _wshift(v, dw, true_w, interpret, zero):
-    """out[:, j] = v[:, j+dw]; boundary at the true image width:
-    edge-replicate (zero=False) or zero-fill (zero=True)."""
-    if dw == 0:
-        return v
+def _wshift1(v, dw, true_w, interpret, mode):
+    """out[:, j] = v[:, j+dw], dw ∈ {−1, +1}; boundary at the true image
+    width: mode ∈ 'edge' (replicate) | 'zero' | 'reflect'."""
     w = v.shape[-1]
     if interpret:
         r = jnp.roll(v, -dw, axis=1)
@@ -82,27 +96,52 @@ def _wshift(v, dw, true_w, interpret, zero):
         bad = col == 0
     if true_w != w:
         bad = bad | (col + dw >= true_w)
-    return jnp.where(bad, jnp.zeros_like(v) if zero else v, r)
+    if mode == "zero":
+        fix = jnp.zeros_like(v)
+    elif mode == "edge":
+        fix = v
+    else:  # reflect: the mirrored read is the opposite-direction shift
+        if interpret:
+            fix = jnp.roll(v, dw, axis=1)
+        else:
+            fix = pltpu.roll(v, dw % w, axis=1)
+    return jnp.where(bad, fix, r)
 
 
-def _hshift(v, dh, grows, true_h, zero):
-    """out[r, :] = v[r+dh, :]. Out-of-image reads (via the global row index
-    grows, shape (rows, 1)) are masked: zero-fill, or the unshifted value
-    for edge-replicate."""
-    if dh == 0:
-        return v
+def _hshift1(v, dh, grows, true_h, mode):
+    """out[r, :] = v[r+dh, :], dh ∈ {−1, +1}. Out-of-image reads (src row
+    beyond the true extent, via the global row index grows) are masked —
+    note edge mode uses the unshifted value (shift2d replicates the
+    *derived array's* own boundary row, which differs from recomputing it
+    on clamp-gathered x rows)."""
     if dh == 1:
         r = jnp.concatenate([v[1:], v[-1:]], axis=0)
+        o = jnp.concatenate([v[:1], v[:-1]], axis=0)
     else:
         r = jnp.concatenate([v[:1], v[:-1]], axis=0)
+        o = jnp.concatenate([v[1:], v[-1:]], axis=0)
     src = grows + dh
     bad = (src < 0) | (src > true_h - 1)
-    return jnp.where(bad, jnp.zeros_like(v) if zero else v, r)
+    if mode == "zero":
+        fix = jnp.zeros_like(v)
+    elif mode == "edge":
+        fix = v
+    else:  # reflect
+        fix = o
+    return jnp.where(bad, fix, r)
 
 
-def _shift(v, dh, dw, grows, true_h, true_w, interpret, zero=False):
-    out = _hshift(v, dh, grows, true_h, zero)
-    return _wshift(out, dw, true_w, interpret, zero)
+def _shift(v, dh, dw, grows, true_h, true_w, interpret, zero=False,
+           mode=None):
+    if mode is None:
+        mode = "zero" if zero else "edge"
+    g = grows
+    for _ in range(abs(dh)):
+        v = _hshift1(v, 1 if dh > 0 else -1, g, true_h, mode)
+        g = g + (1 if dh > 0 else -1)
+    for _ in range(abs(dw)):
+        v = _wshift1(v, 1 if dw > 0 else -1, true_w, interpret, mode)
+    return v
 
 
 def _stats2(v, p, g, f, sh):
@@ -149,38 +188,41 @@ def _assemble(body, halos, halo, grow_to=0):
 
 def _matvec_kernel(x_ref, xh_ref, wglr_ref, wglrh_ref, wgtv_ref, wgtvh_ref,
                    pglr_ref, pgtv_ref, scal_ref,
-                   out_ref, *, n_f, tile_h, true_h, true_w,
-                   no_glr_stats, no_gtv_stats, add_identity, with_glr,
-                   interpret):
+                   out_ref, *, n_f, tile_h, true_h, true_w, deltas,
+                   stats_mode, no_glr_stats, no_gtv_stats, add_identity,
+                   with_glr, interpret):
     gidx = pl.program_id(1)
     i = pl.program_id(2)
-    rows = tile_h + 2 * _HALO_X
+    hx, hw = _halo_x(deltas), _halo_w(deltas)
+    n_e = len(deltas)
+    rows = tile_h + 2 * hx
     grows = (jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
-             + i * tile_h - _HALO_X)
+             + i * tile_h - hx)
     sh = functools.partial(_shift, grows=grows, true_h=true_h, true_w=true_w,
                            interpret=interpret)
+    shs = functools.partial(sh, mode=stats_mode)   # stats_conv pad mode
     shz = functools.partial(sh, zero=True)
     pglr = None if no_glr_stats else pglr_ref
     pgtv = None if no_gtv_stats else pgtv_ref
     wgtv = [_assemble(wgtv_ref[0, 0, e].astype(jnp.float32),
                       wgtvh_ref[0, 0, e, 0].astype(jnp.float32),
-                      _HALO_W, grow_to=_HALO_X) for e in range(4)]
+                      hw, grow_to=hx) for e in range(n_e)]
     if with_glr:
         wglr = [_assemble(wglr_ref[0, 0, e].astype(jnp.float32),
                           wglrh_ref[0, 0, e, 0].astype(jnp.float32),
-                          _HALO_W, grow_to=_HALO_X) for e in range(4)]
+                          hw, grow_to=hx) for e in range(n_e)]
         mu = scal_ref[gidx, 0]
     ro = scal_ref[gidx, 1]
 
     for f in range(n_f):
         x = _assemble(x_ref[0, 0, f], xh_ref[0, 0, f, 0],
-                      _HALO_X).astype(jnp.float32)         # (rows, W)
+                      hx).astype(jnp.float32)              # (rows, W)
 
         # GTV: statsᵀ(Σ_e [w_e·ε_e − shift₋ₑ⁰(w_e·ε_e)]),
         #      ε_e = w_e·(s₂ − shift_e s₂)
-        s2 = _stats2(x, pgtv, gidx, f, sh)
+        s2 = _stats2(x, pgtv, gidx, f, shs)
         acc = None
-        for e, (dh, dw) in enumerate(CROSS4):
+        for e, (dh, dw) in enumerate(deltas):
             we = wgtv[e]
             eps = we * (s2 - sh(s2, dh, dw))
             wei = we * eps
@@ -190,43 +232,45 @@ def _matvec_kernel(x_ref, xh_ref, wglr_ref, wglrh_ref, wgtv_ref, wgtvh_ref,
 
         if with_glr:
             # GLR: statsᵀ(s − Σ_e w_e ⊙ shift_e(s)), s = stats(x)
-            s = _stats2(x, pglr, gidx, f, sh)
+            s = _stats2(x, pglr, gidx, f, shs)
             wx = None
-            for e, (dh, dw) in enumerate(CROSS4):
+            for e, (dh, dw) in enumerate(deltas):
                 term = wglr[e] * sh(s, dh, dw)
                 wx = term if wx is None else wx + term
             out = out + mu * _stats2_t(s - wx, pglr, gidx, f, shz)
 
         if add_identity:
             out = out + x
-        out_ref[0, 0, f] = out[_HALO_X:_HALO_X + tile_h].astype(out_ref.dtype)
+        out_ref[0, 0, f] = out[hx:hx + tile_h].astype(out_ref.dtype)
 
 
 def _rethresh_kernel(x_ref, xh_ref, y_ref, wgtv_ref, wgtvh_ref, pgtv_ref,
                      scal_ref, out_ref,
-                     *, n_f, tile_h, true_h, true_w, no_gtv_stats,
-                     include_y, interpret):
+                     *, n_f, tile_h, true_h, true_w, deltas, stats_mode,
+                     no_gtv_stats, include_y, interpret):
     gidx = pl.program_id(1)
     i = pl.program_id(2)
-    rows = tile_h + 2 * _HALO_X
+    hx, hw = _halo_x(deltas), _halo_w(deltas)
+    rows = tile_h + 2 * hx
     grows = (jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
-             + i * tile_h - _HALO_X)
+             + i * tile_h - hx)
     sh = functools.partial(_shift, grows=grows, true_h=true_h, true_w=true_w,
                            interpret=interpret)
+    shs = functools.partial(sh, mode=stats_mode)
     shz = functools.partial(sh, zero=True)
     pgtv = None if no_gtv_stats else pgtv_ref
     wgtv = [_assemble(wgtv_ref[0, 0, e].astype(jnp.float32),
                       wgtvh_ref[0, 0, e, 0].astype(jnp.float32),
-                      _HALO_W, grow_to=_HALO_X) for e in range(4)]
+                      hw, grow_to=hx) for e in range(len(deltas))]
     gamma = scal_ref[gidx, 0]
     ro = scal_ref[gidx, 1]
 
     for f in range(n_f):
         x = _assemble(x_ref[0, 0, f], xh_ref[0, 0, f, 0],
-                      _HALO_X).astype(jnp.float32)
-        s2 = _stats2(x, pgtv, gidx, f, sh)
+                      hx).astype(jnp.float32)
+        s2 = _stats2(x, pgtv, gidx, f, shs)
         acc = None
-        for e, (dh, dw) in enumerate(CROSS4):
+        for e, (dh, dw) in enumerate(deltas):
             we = wgtv[e]
             eps = we * (s2 - sh(s2, dh, dw))
             # ε − bias = 2·S_γ(Cx) − Cx  (reference v1x0.py:757-781)
@@ -236,23 +280,24 @@ def _rethresh_kernel(x_ref, xh_ref, y_ref, wgtv_ref, wgtvh_ref, pgtv_ref,
             wei = we * t
             term = wei - shz(wei, -dh, -dw)
             acc = term if acc is None else acc + term
-        out = (ro * _stats2_t(acc, pgtv, gidx, f, shz))[_HALO_X:_HALO_X + tile_h]
+        out = (ro * _stats2_t(acc, pgtv, gidx, f, shz))[hx:hx + tile_h]
         if include_y:
             out = out + y_ref[0, 0, f].astype(jnp.float32)
         out_ref[0, 0, f] = out.astype(out_ref.dtype)
 
 
 def _edgew_kernel(f_ref, fh_ref, m_ref, out_ref, *, n_f, tile_h, true_h,
-                  true_w, interpret):
+                  true_w, deltas, interpret):
     gidx = pl.program_id(1)
     i = pl.program_id(2)
-    rows = tile_h + 2
+    r = _radius(deltas)
+    rows = tile_h + 2 * r
     grows = (jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
-             + i * tile_h - 1)
+             + i * tile_h - r)
     sh = functools.partial(_shift, grows=grows, true_h=true_h, true_w=true_w,
                            interpret=interpret)
 
-    xs = [_assemble(f_ref[0, 0, f], fh_ref[0, 0, f, 0], 1).astype(jnp.float32)
+    xs = [_assemble(f_ref[0, 0, f], fh_ref[0, 0, f, 0], r).astype(jnp.float32)
           for f in range(n_f)]
     ss = None
     for x in xs:
@@ -261,19 +306,22 @@ def _edgew_kernel(f_ref, fh_ref, m_ref, out_ref, *, n_f, tile_h, true_h,
     ts = [x * inv * m_ref[gidx, f] for f, x in enumerate(xs)]
 
     sims = []
-    for dh, dw in CROSS4:
+    for dh, dw in deltas:
         s = None
         for f in range(n_f):
             term = ts[f] * sh(ts[f], dh, dw)
             s = term if s is None else s + term
         sims.append(s)
-    mx = jnp.maximum(jnp.maximum(sims[0], sims[1]),
-                     jnp.maximum(sims[2], sims[3]))
+    mx = sims[0]
+    for s in sims[1:]:
+        mx = jnp.maximum(mx, s)
     exps = [jnp.exp(s - mx) for s in sims]
-    den = exps[0] + exps[1] + exps[2] + exps[3]
-    for e in range(4):
+    den = exps[0]
+    for e in exps[1:]:
+        den = den + e
+    for e in range(len(deltas)):
         out_ref[0, 0, e] = (exps[e] / den).astype(
-            out_ref.dtype)[1:1 + tile_h]
+            out_ref.dtype)[r:r + tile_h]
 
 
 # ---------------------------------------------------------------------------
@@ -374,27 +422,33 @@ def _stats_pg(stats, n_graphs, n_node_fts):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "n_graphs", "true_h", "true_w", "add_identity", "with_glr", "interpret"))
+    "n_graphs", "true_h", "true_w", "deltas", "stats_mode", "add_identity",
+    "with_glr", "interpret"))
 def gg_matvec_chw(x, w_glr, w_gtv, pglr, pgtv, mu, ro, *, n_graphs,
-                  true_h, true_w, add_identity=True, with_glr=True,
-                  interpret=False):
+                  true_h, true_w, deltas=CROSS4, stats_mode="edge",
+                  add_identity=True, with_glr=True, interpret=False):
     """x: (B, C, H, W); w_glr/w_gtv: (B, G, E, H, W); pglr/pgtv: (G, 4, F)
-    or None (no_orders); mu/ro: (G,) positive scales (exp already applied).
+    or None (no_orders); mu/ro: (G,) positive scales (exp already applied
+    where the parameterisation is log). deltas: static (dh, dw) window
+    (cross4 / diamond12 / ring8); stats_mode: stats_conv pad mode ("edge"
+    flagship / "reflect" v5–v8 pixel family).
     Returns [x +] μ⊙GLR(x) + ρ⊙GTV(x) as (B, C, H, W). with_glr=False
     skips the GLR branch entirely (the μ=0 ADMM-init RHS)."""
     b, c, h, w = x.shape
     g = n_graphs
     f = c // g
+    n_e = len(deltas)
+    hx, hw = _halo_x(deltas), _halo_w(deltas)
     th = _pick_tile_h(h)
     nb = h // th
     xv = x.reshape(b, g, f, h, w)
-    xh = _gather_halos(xv, th, _HALO_X)
-    wgtv_h = _gather_halos(w_gtv, th, _HALO_W)
+    xh = _gather_halos(xv, th, hx)
+    wgtv_h = _gather_halos(w_gtv, th, hw)
     if with_glr:
-        wglr_in, wglr_h = w_glr, _gather_halos(w_glr, th, _HALO_W)
+        wglr_in, wglr_h = w_glr, _gather_halos(w_glr, th, hw)
     else:
-        wglr_in = jnp.zeros((b, g, 4, 8, w), x.dtype)
-        wglr_h = jnp.zeros((b, g, 4, 1, 2, w), x.dtype)
+        wglr_in = jnp.zeros((b, g, n_e, 8, w), x.dtype)
+        wglr_h = jnp.zeros((b, g, n_e, 1, 2, w), x.dtype)
 
     dummy = jnp.zeros((g, 4, f), jnp.float32)
     pglr_in = dummy if pglr is None else pglr
@@ -404,6 +458,7 @@ def gg_matvec_chw(x, w_glr, w_gtv, pglr, pgtv, mu, ro, *, n_graphs,
 
     kernel = functools.partial(
         _matvec_kernel, n_f=f, tile_h=th, true_h=true_h, true_w=true_w,
+        deltas=deltas, stats_mode=stats_mode,
         no_glr_stats=pglr is None, no_gtv_stats=pgtv is None,
         add_identity=add_identity, with_glr=with_glr, interpret=interpret)
     out = pl.pallas_call(
@@ -412,14 +467,14 @@ def gg_matvec_chw(x, w_glr, w_gtv, pglr, pgtv, mu, ro, *, n_graphs,
         grid=(b, g, nb),
         in_specs=[
             _body_spec(f, th, w),
-            _halo_spec(f, 2 * _HALO_X, w),
-            _body_spec(4, th, w) if with_glr else _dummy_spec(4, 8, w),
-            _halo_spec(4, 2 * _HALO_W, w) if with_glr
-            else pl.BlockSpec((1, 1, 4, 1, 2, w),
+            _halo_spec(f, 2 * hx, w),
+            _body_spec(n_e, th, w) if with_glr else _dummy_spec(n_e, 8, w),
+            _halo_spec(n_e, 2 * hw, w) if with_glr
+            else pl.BlockSpec((1, 1, n_e, 1, 2, w),
                               lambda b, g, i: (b, g, 0, 0, 0, 0),
                               memory_space=pltpu.VMEM),
-            _body_spec(4, th, w),
-            _halo_spec(4, 2 * _HALO_W, w),
+            _body_spec(n_e, th, w),
+            _halo_spec(n_e, 2 * hw, w),
             _smem_spec(pglr_in.shape),
             _smem_spec(pgtv_in.shape),
             _smem_spec(scal.shape),
@@ -432,19 +487,21 @@ def gg_matvec_chw(x, w_glr, w_gtv, pglr, pgtv, mu, ro, *, n_graphs,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "n_graphs", "true_h", "true_w", "interpret"))
+    "n_graphs", "true_h", "true_w", "deltas", "stats_mode", "interpret"))
 def gtv_rethresh_chw(x, y, w_gtv, pgtv, gamma, ro, *, n_graphs,
-                     true_h, true_w, interpret=False):
+                     true_h, true_w, deltas=CROSS4, stats_mode="edge",
+                     interpret=False):
     """[y +] ρ⊙Cᵀ(2·S_γ(Cx) − Cx). x/y: (B, C, H, W) (y may be None);
     w_gtv: (B, G, E, H, W); pgtv: (G, 4, F) or None; gamma/ro: (G,)."""
     b, c, h, w = x.shape
     g = n_graphs
     f = c // g
+    hx, hw = _halo_x(deltas), _halo_w(deltas)
     th = _pick_tile_h(h)
     nb = h // th
     xv = x.reshape(b, g, f, h, w)
-    xh = _gather_halos(xv, th, _HALO_X)
-    wgtv_h = _gather_halos(w_gtv, th, _HALO_W)
+    xh = _gather_halos(xv, th, hx)
+    wgtv_h = _gather_halos(w_gtv, th, hw)
     include_y = y is not None
     if include_y:
         yv = y.reshape(b, g, f, h, w)
@@ -456,6 +513,7 @@ def gtv_rethresh_chw(x, y, w_gtv, pgtv, gamma, ro, *, n_graphs,
                       jnp.asarray(ro, jnp.float32).reshape(-1)], axis=1)
     kernel = functools.partial(
         _rethresh_kernel, n_f=f, tile_h=th, true_h=true_h, true_w=true_w,
+        deltas=deltas, stats_mode=stats_mode,
         no_gtv_stats=pgtv is None, include_y=include_y, interpret=interpret)
     out = pl.pallas_call(
         kernel,
@@ -463,10 +521,10 @@ def gtv_rethresh_chw(x, y, w_gtv, pgtv, gamma, ro, *, n_graphs,
         grid=(b, g, nb),
         in_specs=[
             _body_spec(f, th, w),
-            _halo_spec(f, 2 * _HALO_X, w),
+            _halo_spec(f, 2 * hx, w),
             _body_spec(f, th, w) if include_y else _dummy_spec(1, 8, w),
-            _body_spec(4, th, w),
-            _halo_spec(4, 2 * _HALO_W, w),
+            _body_spec(len(deltas), th, w),
+            _halo_spec(len(deltas), 2 * hw, w),
             _smem_spec((pgtv if pgtv is not None else dummy).shape),
             _smem_spec(scal.shape),
         ],
@@ -478,31 +536,33 @@ def gtv_rethresh_chw(x, y, w_gtv, pgtv, gamma, ro, *, n_graphs,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "n_graphs", "true_h", "true_w", "interpret"))
+    "n_graphs", "true_h", "true_w", "deltas", "interpret"))
 def edge_weights_chw(feats, multi_m, *, n_graphs, true_h, true_w,
-                     interpret=False):
-    """feats: (B, C, H, W) → softmax cross-4 edge weights (B, G, E, H, W).
-    multi_m: (G, F)."""
+                     deltas=CROSS4, interpret=False):
+    """feats: (B, C, H, W) → softmax edge weights (B, G, E, H, W) for the
+    static (dh, dw) window. multi_m: (G, F)."""
     b, c, h, w = feats.shape
     g = n_graphs
     f = c // g
+    r = _radius(deltas)
     th = _pick_tile_h(h)
     nb = h // th
     fv = feats.reshape(b, g, f, h, w)
-    fh = _gather_halos(fv, th, 1)
+    fh = _gather_halos(fv, th, r)
 
     kernel = functools.partial(_edgew_kernel, n_f=f, tile_h=th, true_h=true_h,
-                               true_w=true_w, interpret=interpret)
+                               true_w=true_w, deltas=deltas,
+                               interpret=interpret)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, g, 4, h, w), feats.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, g, len(deltas), h, w), feats.dtype),
         grid=(b, g, nb),
         in_specs=[
             _body_spec(f, th, w),
-            _halo_spec(f, 2, w),
+            _halo_spec(f, 2 * r, w),
             _smem_spec(jnp.asarray(multi_m, jnp.float32).shape),
         ],
-        out_specs=_body_spec(4, th, w),
+        out_specs=_body_spec(len(deltas), th, w),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM),
         interpret=interpret,
     )(fv, fh, jnp.asarray(multi_m, jnp.float32))

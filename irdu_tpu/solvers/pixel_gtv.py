@@ -61,6 +61,11 @@ class MixtureGTV(nn.Module):
     feature_num_blocks: Sequence[int] = (2, 3, 3, 4)
     feature_num_refinement: int = 4
     ffn_expansion_factor: float = 2.6666
+    # Inference fast path: run the unroll through the fused CHW Pallas
+    # kernels (ops/pallas/solver_chw.py, generalized to the 12-edge
+    # diamond window + reflect stats padding). Shapes that don't qualify
+    # fall back to the jnp path; the jnp path stays authoritative.
+    use_pallas_unroll: bool = False
 
     def setup(self):
         if self.n_cgd_iters != 4:
@@ -114,7 +119,101 @@ class MixtureGTV(nn.Module):
     def _pg(self, vec, i):
         return jnp.repeat(vec[i], self.n_node_fts)
 
+    def _chw_ok(self, shape) -> bool:
+        _, h, w, _ = shape
+        return h % 8 == 0 and w % 128 == 0
+
+    def _forward_chw(self, patchs: jnp.ndarray) -> jnp.ndarray:
+        """The same unroll through the fused CHW kernels (single scale,
+        diamond-12 window, reflect stats). Mirrors __call__ step for step;
+        same reference citations apply."""
+        import functools
+
+        from irdu_tpu.ops.pallas.solver_chw import (
+            _stats_pg,
+            edge_weights_chw,
+            gg_matvec_chw,
+            gtv_rethresh_chw,
+        )
+
+        b, h, w, c = patchs.shape
+        d, g = self.deltas, self.n_graphs
+        interp = jax.default_backend() != "tpu"
+
+        feats = self.features(patchs)
+        ew_feats = feats[..., : self.n_total_fts]
+        dc_feats = feats[..., self.n_total_fts:]
+        dc_term = self.dc_estimator(dc_feats)
+        y_tilde = patchs - dc_term
+
+        def chw(a):
+            return jnp.transpose(a, (0, 3, 1, 2))
+
+        # both ops' weights in one kernel call: 2G stacked graphs over the
+        # duplicated feature planes (same features, different metric)
+        fc = chw(ew_feats)
+        w_all = edge_weights_chw(
+            jnp.concatenate([fc, fc], axis=1),
+            jnp.concatenate([self.gtv00.multi_m, self.glr00.multi_m], axis=0),
+            n_graphs=2 * g, true_h=h, true_w=w, deltas=d, interpret=interp)
+        w_gtv, w_glr = w_all[:, :g], w_all[:, g:]
+
+        pgtv = _stats_pg(self.gtv00.stats, g, self.n_node_fts)
+        pglr = _stats_pg(self.glr00.stats, g, self.n_node_fts)
+        gamma = jnp.exp(self.gamma00)
+
+        mv = functools.partial(
+            gg_matvec_chw, w_glr=w_glr, w_gtv=w_gtv, pglr=pglr, pgtv=pgtv,
+            mu=self.muys00, ro=self.ro00, n_graphs=g, true_h=h, true_w=w,
+            deltas=d, stats_mode="reflect", interpret=interp)
+
+        def pg(vec, i):
+            a = jnp.repeat(vec[i], self.n_node_fts)
+            return a[None, :, None, None]
+
+        y = chw(jnp.tile(y_tilde, (1, 1, 1, g)))
+
+        # round 1: rhs = ỹ + ρ·CᵀC ỹ (bias 0)
+        rhs = gg_matvec_chw(
+            y, None, w_gtv, None, pgtv, self.muys00 * 0.0, self.ro00,
+            n_graphs=g, true_h=h, true_w=w, deltas=d, stats_mode="reflect",
+            with_glr=False, interpret=interp)
+        out = rhs
+        res = rhs - mv(out)
+        update = res
+        out = out + pg(self.alpha_cgd, 0) * update
+        res = rhs - mv(out)
+        update = res + pg(self.beta_cgd, 1) * update
+        out = out + pg(self.alpha_cgd, 1) * update
+
+        # ADMM re-threshold (bias was 0, so ε−bias = 2·S_γ(Cx) − Cx)
+        rhs = gtv_rethresh_chw(
+            out, y, w_gtv, pgtv, gamma, self.ro00, n_graphs=g,
+            true_h=h, true_w=w, deltas=d, stats_mode="reflect",
+            interpret=interp)
+
+        # round 2: CG restart from the new RHS (v6:995)
+        out = rhs
+        res = rhs - mv(out)
+        update = res
+        out = out + pg(self.alpha_cgd, 2) * update
+        res = rhs - mv(out)
+        update = res + pg(self.beta_cgd, 3) * update
+        out = out + pg(self.alpha_cgd, 3) * update
+
+        out = jnp.transpose(out, (0, 2, 3, 1))
+
+        # mixture combination: softmax score over graphs (v6:850-858, 1011)
+        logits = self.combination_weight(ew_feats)
+        score = jax.nn.softmax(logits, axis=-1)
+        out_g = out.reshape(b, h, w, g, self.nchannels_in)
+        combined = jnp.sum(out_g * score[..., None], axis=3)
+        return combined + dc_term
+
     def __call__(self, patchs: jnp.ndarray) -> jnp.ndarray:
+        if self.use_pallas_unroll and self._chw_ok(patchs.shape):
+            return self._forward_chw(patchs)
+
         b, h, w, c = patchs.shape
         d, g = self.deltas, self.n_graphs
 

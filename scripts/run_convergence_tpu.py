@@ -73,7 +73,7 @@ def main():
         "datasets": {
             "train": {
                 "csv_path": os.path.join(args.root, "train.csv"),
-                "root_folder": args.root,
+                "root_folder": os.path.join(args.root, "train_images"),
                 "dist_mode": "addictive_noise_scale",
                 "lambda_noise": 25.0,
                 "use_data_aug": True,
@@ -86,7 +86,7 @@ def main():
             "datasets": {
                 "synval": {
                     "csv_path": os.path.join(args.root, "val.csv"),
-                    "root_folder": args.root,
+                    "root_folder": os.path.join(args.root, "val_images"),
                 },
             },
         },

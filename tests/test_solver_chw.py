@@ -186,3 +186,92 @@ def test_rethresh_chw_no_y():
         n_graphs=G, true_h=H, true_w=W, interpret=True)
     np.testing.assert_allclose(np.asarray(_to_chw(ref)), np.asarray(out),
                                atol=2e-4)
+
+
+def test_matvec_chw_diamond12_reflect():
+    """The generalized kernels with the v5–v8 pixel-family semantics:
+    12-edge 5×5-diamond window, scalar stats with REFLECT padding."""
+    rng = np.random.RandomState(8)
+    deltas = WINDOWS["diamond12"]
+    x = jnp.asarray(rng.randn(1, H, W, C), jnp.float32)
+    feats = jnp.asarray(rng.randn(1, H, W, C), jnp.float32)
+    multi_m = jnp.asarray(rng.rand(G, F) * 2 + 0.5, jnp.float32)
+    w_gtv, _ = extract_edge_weights(feats, multi_m, deltas, G)
+    w_glr, _ = extract_edge_weights(feats + 0.2, multi_m, deltas, G)
+    # scalar stats (stats_mode="scalar" in GraphOpParams): shape (1,)
+    sglr = {k: jnp.asarray([v + 0.1], jnp.float32)
+            for k, v in (("p01", 1.0), ("p02a", 0.5), ("p02b", 0.5), ("p03", 0.5))}
+    sgtv = {k: jnp.asarray([v - 0.1], jnp.float32)
+            for k, v in (("p01", 1.0), ("p02a", 0.5), ("p02b", 0.5), ("p03", 0.5))}
+    mu = jnp.asarray(rng.rand(G) + 0.1, jnp.float32)
+    ro = jnp.asarray(rng.rand(G) + 0.1, jnp.float32)
+
+    ref = (x
+           + per_graph_scale(glr_apply(x, w_glr, deltas, G, sglr, "reflect"), mu)
+           + per_graph_scale(gtv_apply(x, w_gtv, deltas, G, sgtv, "reflect"), ro))
+    out = gg_matvec_chw(
+        _to_chw(x), _w_chw(w_glr), _w_chw(w_gtv),
+        _stats_pg(sglr, G, F), _stats_pg(sgtv, G, F), mu, ro,
+        n_graphs=G, true_h=H, true_w=W, deltas=deltas, stats_mode="reflect",
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(_to_chw(ref)), np.asarray(out),
+                               atol=5e-4)
+
+
+def test_edge_weights_chw_diamond12():
+    rng = np.random.RandomState(9)
+    deltas = WINDOWS["diamond12"]
+    feats = jnp.asarray(rng.randn(1, H, W, C), jnp.float32)
+    multi_m = jnp.asarray(rng.rand(G, F) * 2 + 0.5, jnp.float32)
+    weights, _ = extract_edge_weights(feats, multi_m, deltas, G)
+    out = edge_weights_chw(_to_chw(feats), multi_m, n_graphs=G,
+                           true_h=H, true_w=W, deltas=deltas, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(_w_chw(weights)),
+                               atol=1e-5)
+
+
+def test_rethresh_chw_diamond12_reflect():
+    rng = np.random.RandomState(10)
+    deltas = WINDOWS["diamond12"]
+    x = jnp.asarray(rng.randn(1, H, W, C), jnp.float32)
+    feats = jnp.asarray(rng.randn(1, H, W, C), jnp.float32)
+    multi_m = jnp.asarray(rng.rand(G, F) * 2 + 0.5, jnp.float32)
+    w_gtv, _ = extract_edge_weights(feats, multi_m, deltas, G)
+    sgtv = {k: jnp.asarray([v], jnp.float32)
+            for k, v in (("p01", 1.0), ("p02a", 0.5), ("p02b", 0.5), ("p03", 0.5))}
+    gamma = jnp.asarray(rng.rand(G) * 0.5 + 0.05, jnp.float32)
+    ro = jnp.asarray(rng.rand(G) + 0.1, jnp.float32)
+    y = jnp.asarray(rng.randn(1, H, W, C), jnp.float32)
+
+    gamma_c = jnp.repeat(gamma, F)
+    eps = op_c(x, w_gtv, deltas, G, sgtv, "reflect")
+    t = tuple(2.0 * soft_threshold(e, gamma_c) - e for e in eps)
+    ref = y + per_graph_scale(op_c_transpose(t, w_gtv, deltas, G, sgtv), ro)
+    out = gtv_rethresh_chw(
+        _to_chw(x), _to_chw(y), _w_chw(w_gtv), _stats_pg(sgtv, G, F),
+        gamma, ro, n_graphs=G, true_h=H, true_w=W, deltas=deltas,
+        stats_mode="reflect", interpret=True)
+    np.testing.assert_allclose(np.asarray(_to_chw(ref)), np.asarray(out),
+                               atol=5e-4)
+
+
+def test_pixel_solver_chw_matches_jnp():
+    """MixtureGTV (pixel family) with use_pallas_unroll matches the jnp
+    path: diamond-12 window, reflect stats, accumulating-bias ADMM round,
+    DC estimator + mixture combination."""
+    from irdu_tpu.solvers.pixel_gtv import MixtureGTV
+
+    rng = np.random.RandomState(11)
+    h, w = 16, 128
+    x = jnp.asarray(rng.rand(1, h, w, 3) * 0.8, jnp.float32)
+    ref_m = MixtureGTV(n_graphs=4, n_node_fts=3, n_cnn_fts=8,
+                       feature_num_blocks=(1, 1, 1, 1),
+                       feature_num_refinement=1)
+    params = ref_m.init(jax.random.PRNGKey(1), x)
+    ref = ref_m.apply(params, x)
+    out = MixtureGTV(n_graphs=4, n_node_fts=3, n_cnn_fts=8,
+                     feature_num_blocks=(1, 1, 1, 1),
+                     feature_num_refinement=1,
+                     use_pallas_unroll=True).apply(params, x)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                               atol=1e-4, rtol=1e-3)
