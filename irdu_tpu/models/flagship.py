@@ -54,18 +54,26 @@ class AbstractMultiScaleGraphFilter(nn.Module):
     # inference-time FLOP reduction: truncate each solver unroll after k CG
     # steps (3 = exact reference semantics; see MixtureGTVGLR.eval_cg_iters)
     eval_cg_iters: int = 3
+    # training-memory knob: rematerialize each encoder/decoder block and
+    # each filtering block on the backward pass (jax.checkpoint via
+    # nn.remat). Without it the flagship's 192²+ training stages exceed
+    # 16 GB HBM on v5e; forward-only inference is unaffected.
+    remat: bool = False
 
     def setup(self):
         d, hd, ns = self.dims, self.hidden_dims, self.nsubnets
         cv = self.conv_variant
         up = self.use_pallas_blocks
+        Block = nn.remat(LocalNonLinearBlock) if self.remat else LocalNonLinearBlock
+        Filter = (nn.remat(LocalLowpassFilteringBlock) if self.remat
+                  else LocalLowpassFilteringBlock)
 
         self.patch_3x3_embeding = RegionalPixelEmbedding(d[0], conv_variant=cv)
         self.encoder_scales = [
             [
-                LocalNonLinearBlock(d[s], hd[s], ns[s], conv_variant=cv,
-                                    use_pallas=up,
-                                    name=f"encoder_scale_{s:02d}_{i}")
+                Block(d[s], hd[s], ns[s], conv_variant=cv,
+                      use_pallas=up,
+                      name=f"encoder_scale_{s:02d}_{i}")
                 for i in range(self.num_blocks[s])
             ]
             for s in range(4)
@@ -77,7 +85,7 @@ class AbstractMultiScaleGraphFilter(nn.Module):
         ]
 
         self.local_filters = [
-            LocalLowpassFilteringBlock(
+            Filter(
                 dim=d[s], ngraphs=self.ngraphs[s], nsubnets=ns[s],
                 window=self.window, use_pallas_solver=self.use_pallas_solver,
                 eval_cg_iters=self.eval_cg_iters,
@@ -98,17 +106,17 @@ class AbstractMultiScaleGraphFilter(nn.Module):
         ]
         self.decoder_scales = [
             [
-                LocalNonLinearBlock(d[s], hd[s], ns[s], conv_variant=cv,
-                                    use_pallas=up,
-                                    name=f"decoder_scale_{s:02d}_{i}")
+                Block(d[s], hd[s], ns[s], conv_variant=cv,
+                      use_pallas=up,
+                      name=f"decoder_scale_{s:02d}_{i}")
                 for i in range(self.num_blocks[s])
             ]
             for s in range(3)
         ]
         self.refining_block = [
-            LocalNonLinearBlock(d[0], hd[0], ns[0], conv_variant=cv,
-                                use_pallas=up,
-                                name=f"refining_block_{i}")
+            Block(d[0], hd[0], ns[0], conv_variant=cv,
+                  use_pallas=up,
+                  name=f"refining_block_{i}")
             for i in range(self.num_blocks_out)
         ]
         self.linear_output = GroupedPointwise(features=self.n_channels_out,

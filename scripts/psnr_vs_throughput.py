@@ -1,0 +1,97 @@
+"""VERDICT r1 #3: the PSNR-vs-throughput tradeoff, measured.
+
+Loads the convergence-run checkpoint (flagship trained on the synthetic
+corpus), then for each inference variant:
+  * full (exact reference semantics, 3 CG steps)
+  * eval_cg_iters=2 / 1 (truncated unrolls)
+measures (a) protocol PSNR on the held-out val set (seed-2204 noise,
+uint8 PSNR), (b) single-chip throughput at 512² via the marginal method.
+Variant PSNRs are deltas against the full model at the same weights.
+
+Usage: python scripts/psnr_vs_throughput.py [--root experiments/convergence_tpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def marginal(fn, x, n0=3, n1=13, reps=3):
+    def make(n):
+        @jax.jit
+        def chain(x):
+            def bd(c, _):
+                return fn(c), None
+            z, _ = jax.lax.scan(bd, x, None, length=n)
+            return z
+        return chain
+    out = []
+    for c in (make(n0), make(n1)):
+        c(x).block_until_ready()
+        float(jnp.mean(c(x).astype(jnp.float32)))
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(jnp.mean(c(x).astype(jnp.float32)))
+            best = min(best, time.perf_counter() - t0)
+        out.append(best)
+    return (out[1] - out[0]) / (n1 - n0)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default="experiments/convergence_tpu")
+    args = ap.parse_args()
+
+    from irdu_tpu.eval.harness import evaluate_pairs, load_benchmark_images
+    from irdu_tpu.models.flagship import AbstractMultiScaleGraphFilter, flagship_config
+    from irdu_tpu.train.checkpoints import CheckpointManager
+    from irdu_tpu.train.schedules import flagship_lr_schedule
+    from irdu_tpu.train.steps import create_train_state
+
+    cfg = flagship_config()
+    base = AbstractMultiScaleGraphFilter(remat=True, **cfg)
+    state = create_train_state(
+        base, jax.random.PRNGKey(0), np.zeros((1, 64, 64, 3), np.float32),
+        flagship_lr_schedule())
+    cm = CheckpointManager(os.path.join(args.root, "checkpoints"))
+    state, _ = cm.restore(state)
+    print(f"loaded checkpoint at step {int(state.step)}", flush=True)
+    params = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16),
+                                    state.params)
+
+    images = load_benchmark_images(os.path.join(args.root, "val.csv"),
+                                   os.path.join(args.root, "val_images"))
+    xb = jnp.asarray(np.random.RandomState(0).rand(1, 512, 512, 3),
+                     jnp.bfloat16)
+
+    rows = []
+    for k in (3, 2, 1):
+        model = AbstractMultiScaleGraphFilter(
+            use_pallas_blocks=True, use_pallas_solver=True,
+            eval_cg_iters=k, **cfg)
+        fwd = jax.jit(lambda x, m=model: m.apply(params, x))
+        out = evaluate_pairs(
+            lambda x: np.asarray(fwd(jnp.asarray(x, jnp.bfloat16))
+                                 .astype(jnp.float32)),
+            images, sigma=25.0, bucket=64)
+        t = marginal(lambda z, m=model: m.apply(params, z), xb)
+        rows.append({"variant": f"cg{k}", "psnr": out["mean_psnr"],
+                     "mp_per_s": 0.262144 / t})
+        print(json.dumps(rows[-1]), flush=True)
+
+    full = rows[0]["psnr"]
+    for r in rows:
+        r["psnr_delta_vs_full"] = r["psnr"] - full
+    print(json.dumps(rows))
+
+
+if __name__ == "__main__":
+    main()

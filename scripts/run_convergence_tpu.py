@@ -68,6 +68,7 @@ def main():
             "ngraphs": [8, 16, 16, 32],
             "num_blocks": [4, 6, 6, 8],
             "num_blocks_out": 4,
+            "remat": True,
         },
         "parallel": {"data_parallel": 1},
         "datasets": {
