@@ -103,6 +103,7 @@ def evaluate_pairs_batched(
     bucket: int = 64,
     batch_size: int = 4,
     max_in_flight: int = 3,
+    device_metrics: bool = False,
 ) -> dict:
     """Chip-saturating version of `evaluate_pairs` (PERF backlog #3 /
     VERDICT r1 #7): images are bucketed by padded shape, stacked into
@@ -116,6 +117,10 @@ def evaluate_pairs_batched(
     `evaluate_pairs` up to the model's padded-boundary sensitivity.
 
     forward: maps (batch_size, H, W, 3) float32 → same shape.
+    device_metrics: quantize (img_as_ubyte) + mask-crop + PSNR on device
+    and read back only per-image scalars — device→host image readback
+    through remote-execution rigs can cost orders of magnitude more than
+    the model itself (f32 reductions: ≲0.005 dB vs the f64 host path).
     Returns {"psnr", "mean_psnr", "seconds_total", "mp_per_s"}.
     """
     images = list(images_255)
@@ -137,14 +142,57 @@ def evaluate_pairs_batched(
     psnrs = [0.0] * len(images)
     pending: list[tuple[list[int], object]] = []
 
+    if device_metrics:
+        import jax
+        import jax.numpy as jnp
+
+        @jax.jit
+        def _score(restored, true_pad, hs, ws):
+            """uint8-protocol PSNR over the valid (h, w) region of each
+            padded batch element; mirrors img_as_ubyte + psnr_255."""
+            q = jnp.clip(jnp.rint(jnp.clip(restored, 0.0, 1.0) * 255.0),
+                         0.0, 255.0)
+            hgrid = jnp.arange(restored.shape[1])[None, :, None, None]
+            wgrid = jnp.arange(restored.shape[2])[None, None, :, None]
+            mask = ((hgrid < hs[:, None, None, None])
+                    & (wgrid < ws[:, None, None, None]))
+            se = jnp.sum(jnp.square(q - true_pad) * mask, axis=(1, 2, 3))
+            n = (hs * ws * restored.shape[3]).astype(jnp.float32)
+            mse = se / n
+            return 20.0 * jnp.log10(255.0) - 10.0 * jnp.log10(mse)
+
+        trues_pad = [
+            np.pad(im.astype(np.float32),
+                   ((0, p.shape[0] - im.shape[0]),
+                    (0, p.shape[1] - im.shape[1]), (0, 0)))
+            for im, p in zip(images, padded)
+        ]
+
     def drain(entry):
         idxs, out = entry
+        if device_metrics:
+            for j, i in enumerate(idxs):
+                psnrs[i] = float(out[j])
+            return
         out = np.asarray(out)
         for j, i in enumerate(idxs):
             h, w = images[i].shape[:2]
             restored = np.clip(out[j, :h, :w], 0.0, 1.0)
             restored_255 = img_as_ubyte(restored).astype(np.float32)
             psnrs[i] = psnr_255(images[i].astype(np.float32), restored_255)
+
+    # warm each bucket's compiled programs (forward + scorer) before the
+    # clock starts: steady-state throughput is the quantity of interest,
+    # and compiles through remote-execution rigs cost tens of seconds
+    for key in groups:
+        wb = np.zeros((batch_size, *key, images[0].shape[2]), np.float32)
+        wout = forward(wb)
+        if device_metrics:
+            import jax.numpy as jnp
+
+            _score(jnp.asarray(wout), jnp.asarray(wb),
+                   jnp.ones(batch_size, np.int32),
+                   jnp.ones(batch_size, np.int32)).block_until_ready()
 
     t0 = time.perf_counter()
     for key in groups:
@@ -154,6 +202,15 @@ def evaluate_pairs_batched(
             fill = chunk + [chunk[-1]] * (batch_size - len(chunk))
             batch = np.stack([padded[i] for i in fill])
             out = forward(batch)  # async dispatch
+            if device_metrics:
+                import jax.numpy as jnp
+
+                tp = np.stack([trues_pad[i] for i in fill])
+                hs = np.array([images[i].shape[0] for i in fill], np.int32)
+                ws = np.array([images[i].shape[1] for i in fill], np.int32)
+                # stays on device; drain syncs per-scalar
+                out = _score(jnp.asarray(out), jnp.asarray(tp),
+                             jnp.asarray(hs), jnp.asarray(ws))
             pending.append((chunk, out))
             if len(pending) >= max_in_flight:
                 drain(pending.pop(0))

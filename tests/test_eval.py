@@ -116,3 +116,7 @@ def test_evaluate_pairs_batched_matches_sequential(rng):
                                  batch_size=2)
     np.testing.assert_allclose(bat["psnr"], seq["psnr"], atol=1e-4)
     assert bat["mp_per_s"] > 0
+    # on-device metrics path (f32 reductions): same protocol within tol
+    dev = evaluate_pairs_batched(forward, images, sigma=15.0, bucket=8,
+                                 batch_size=2, device_metrics=True)
+    np.testing.assert_allclose(dev["psnr"], seq["psnr"], atol=5e-3)
