@@ -48,15 +48,25 @@ def marginal(fn, x, n0=3, n1=13, reps=3):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", default="experiments/convergence_tpu")
+    ap.add_argument("--model", default="flagship",
+                    choices=["flagship", "lite", "micro"])
+    ap.add_argument("--val-root", default="experiments/convergence_tpu",
+                    help="where val.csv/val_images live (shared corpus)")
     args = ap.parse_args()
 
     from irdu_tpu.eval.harness import evaluate_pairs, load_benchmark_images
-    from irdu_tpu.models.flagship import AbstractMultiScaleGraphFilter, flagship_config
+    from irdu_tpu.models.flagship import (
+        AbstractMultiScaleGraphFilter,
+        flagship_config,
+        flagship_lite_config,
+        flagship_micro_config,
+    )
     from irdu_tpu.train.checkpoints import CheckpointManager
     from irdu_tpu.train.schedules import flagship_lr_schedule
     from irdu_tpu.train.steps import create_train_state
 
-    cfg = flagship_config()
+    cfg = {"flagship": flagship_config, "lite": flagship_lite_config,
+           "micro": flagship_micro_config}[args.model]()
     base = AbstractMultiScaleGraphFilter(remat=True, **cfg)
     state = create_train_state(
         base, jax.random.PRNGKey(0), np.zeros((1, 64, 64, 3), np.float32),
@@ -67,8 +77,8 @@ def main():
     params = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16),
                                     state.params)
 
-    images = load_benchmark_images(os.path.join(args.root, "val.csv"),
-                                   os.path.join(args.root, "val_images"))
+    images = load_benchmark_images(os.path.join(args.val_root, "val.csv"),
+                                   os.path.join(args.val_root, "val_images"))
     xb = jnp.asarray(np.random.RandomState(0).rand(1, 512, 512, 3),
                      jnp.bfloat16)
 
@@ -83,8 +93,8 @@ def main():
                                  .astype(jnp.float32)),
             images, sigma=25.0, bucket=64)
         t = marginal(lambda z, m=model: m.apply(params, z), xb)
-        rows.append({"variant": f"cg{k}", "psnr": out["mean_psnr"],
-                     "mp_per_s": 0.262144 / t})
+        rows.append({"variant": f"{args.model}-cg{k}",
+                     "psnr": out["mean_psnr"], "mp_per_s": 0.262144 / t})
         print(json.dumps(rows[-1]), flush=True)
 
     full = rows[0]["psnr"]

@@ -48,26 +48,39 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--extra-steps", type=int, default=0)
     ap.add_argument("--root", default="experiments/convergence_tpu")
+    ap.add_argument("--model", default="flagship",
+                    choices=["flagship", "lite", "micro"],
+                    help="member of the family to train (the lite/micro "
+                         "FLOP-reduced configs feed the PSNR-vs-MP/s curve)")
     args = ap.parse_args()
+    if args.model != "flagship" and args.root == "experiments/convergence_tpu":
+        args.root = f"experiments/convergence_{args.model}"
 
     os.makedirs(args.root, exist_ok=True)
     build_corpus(args.root)
 
+    from irdu_tpu.models.flagship import (
+        flagship_config,
+        flagship_lite_config,
+        flagship_micro_config,
+    )
     from irdu_tpu.train.trainer import Trainer
 
+    mc = {"flagship": flagship_config, "lite": flagship_lite_config,
+          "micro": flagship_micro_config}[args.model]()
     max_steps = 2050 + args.extra_steps
     config = {
-        "name": "convergence_tpu",
+        "name": os.path.basename(args.root),
         "task": "denoise",
         "manual_seed": 2204,
         "path": {"root_dir": "experiments"},
         "model": {
             "type": "abstract_multiscale_graph_filter",
-            "dims": [48, 96, 192, 384],
-            "hidden_dims": [96, 192, 384, 768],
-            "ngraphs": [8, 16, 16, 32],
-            "num_blocks": [4, 6, 6, 8],
-            "num_blocks_out": 4,
+            "dims": list(mc["dims"]),
+            "hidden_dims": list(mc["hidden_dims"]),
+            "ngraphs": list(mc["ngraphs"]),
+            "num_blocks": list(mc["num_blocks"]),
+            "num_blocks_out": mc["num_blocks_out"],
             "remat": True,
         },
         "parallel": {"data_parallel": 1},
