@@ -30,12 +30,14 @@ BASELINE_MP_PER_S = 0.71
 
 
 def _chain(fwd, params, n):
+    # The scalar readback is INSIDE the jit: an eager jnp.mean dispatched
+    # after a pallas-heavy chain intermittently stalls minutes on this rig.
     @jax.jit
     def run(z):
         def body(c, _):
             return fwd(params, c), None
         out, _ = jax.lax.scan(body, z, None, length=n)
-        return out
+        return jnp.mean(out.astype(jnp.float32))
     return run
 
 
@@ -43,12 +45,11 @@ def marginal_seconds(fwd, params, x, n0=3, n1=13, reps=3):
     times = []
     for n in (n0, n1):
         run = _chain(fwd, params, n)
-        run(x).block_until_ready()                       # compile
-        float(jnp.mean(run(x).astype(jnp.float32)))      # full warmup
+        float(run(x))                                    # compile + warmup
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            float(jnp.mean(run(x).astype(jnp.float32)))  # host readback sync
+            float(run(x))                                # host readback sync
             best = min(best, time.perf_counter() - t0)
         times.append(best)
     return (times[1] - times[0]) / (n1 - n0)

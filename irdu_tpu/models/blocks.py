@@ -107,6 +107,19 @@ class LocalNonLinearBlock(nn.Module):
             self.dim, self.hidden_dim, self.nsubnets,
             conv_variant=self.conv_variant, name="local_linear")
 
+    def gated_params(self) -> dict:
+        """The block's fused-kernel operand dict (keys match
+        ops.pallas.gated_block / ops.pallas.block_stack)."""
+        p_norm = self.norm.variables["params"]
+        p_gl = self.local_linear.variables["params"]
+        return dict(
+            scale=p_norm["weighted_transform"],
+            w1=p_gl["channels_linear_op"]["kernel"],
+            dwk=p_gl["channels_local_linear_op"]["kernel"][:, :, 0, :],
+            w2=p_gl["project_out"]["kernel"],
+            skip=self.skip_weight,
+        )
+
     def __call__(self, x):
         eligible = (
             self.use_pallas
@@ -117,18 +130,14 @@ class LocalNonLinearBlock(nn.Module):
             and x.shape[2] % 8 == 0
         )
         if eligible:
+            import jax
+
             from irdu_tpu.ops.pallas.gated_block import fused_gated_block
 
-            p_norm = self.norm.variables["params"]
-            p_gl = self.local_linear.variables["params"]
+            p = self.gated_params()
             return fused_gated_block(
-                x,
-                p_norm["weighted_transform"],
-                p_gl["channels_linear_op"]["kernel"],
-                p_gl["channels_local_linear_op"]["kernel"][:, :, 0, :],
-                p_gl["project_out"]["kernel"],
-                self.skip_weight,
-            )
+                x, p["scale"], p["w1"], p["dwk"], p["w2"], p["skip"],
+                interpret=jax.default_backend() != "tpu")
         sw = self.skip_weight
         y = self.local_linear(self.norm(x))
         return sw[0] * x + sw[1] * y
@@ -149,7 +158,11 @@ class RegionalPixelEmbedding(nn.Module):
 
 class LocalLowpassFilteringBlock(nn.Module):
     """One unrolled GGTV+GGLR solve with a learnable 0.5/0.5 skip
-    (reference LocalLowpassFilteringBlock, v1x0.py:967-988)."""
+    (reference LocalLowpassFilteringBlock, v1x0.py:967-988).
+
+    ``__call__(x, chw=True)`` accepts/returns (B, C, H, W) for the CHW
+    fast path; if the solver can't run CHW for this shape it transposes
+    around the NHWC path internally."""
 
     dim: int
     ngraphs: int
@@ -158,12 +171,12 @@ class LocalLowpassFilteringBlock(nn.Module):
     use_pallas_solver: bool = False
     eval_cg_iters: int = 3
 
-    @nn.compact
-    def __call__(self, x):
+    def setup(self):
         from irdu_tpu.solvers.gtv_glr import MixtureGTVGLR
 
-        sw = self.param("skip_weight", _const_pair(0.5, 0.5), (2,))
-        y = MixtureGTVGLR(
+        self.skip_weight = self.param("skip_weight", _const_pair(0.5, 0.5),
+                                      (2,))
+        self.local_filter = MixtureGTVGLR(
             n_graphs=self.ngraphs,
             n_node_fts=self.dim // self.ngraphs,
             alpha_init=0.5,
@@ -175,5 +188,9 @@ class LocalLowpassFilteringBlock(nn.Module):
             use_pallas_unroll=self.use_pallas_solver,
             eval_cg_iters=self.eval_cg_iters,
             name="local_filter",
-        )(x)
+        )
+
+    def __call__(self, x, chw: bool = False):
+        sw = self.skip_weight
+        y = self.local_filter(x, chw=chw)
         return sw[0] * x + sw[1] * y

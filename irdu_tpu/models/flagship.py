@@ -135,6 +135,114 @@ class AbstractMultiScaleGraphFilter(nn.Module):
                 x = self.down_samples[s](x)
         return tuple(codes)
 
+    # -- CHW fast path -----------------------------------------------------
+    #
+    # Inference-only: activations ride (B, C, H, W) — the layout the fused
+    # flat-lane kernels want (ops/pallas/block_stack; ops/pallas/solver_chw)
+    # — so encoder/decoder block runs execute as ONE pallas_call per stack
+    # and the solver consumes CHW directly, with no per-block transposes.
+    # Numerics match the NHWC path to bf16 tolerance (same params, same
+    # reference semantics); scales whose shapes don't qualify fall back to
+    # the per-block NHWC kernel in place.
+
+    def _fast_ok(self, img_shape) -> bool:
+        _, h, w, _ = img_shape
+        return (self.use_pallas_blocks
+                and not self.is_initializing()
+                and not self.remat
+                and self.conv_variant == "plain"
+                and all(n == 1 for n in self.nsubnets)
+                and h % 16 == 0 and w % 16 == 0)
+
+    def _run_blocks_fast(self, x, is_chw, blocks, dim):
+        """Run a block list: stacked flat-lane kernel when the CHW shape
+        qualifies, per-block NHWC kernel otherwise. Returns (x, is_chw)."""
+        from irdu_tpu.models.chw import from_chw, to_chw
+        from irdu_tpu.ops.pallas.block_stack import (
+            fused_block_stack, pack_block_params, stack_ok)
+
+        import jax
+
+        b = x.shape[0]
+        hw = (x.shape[2], x.shape[3]) if is_chw else (x.shape[1], x.shape[2])
+        chw_shape = (b, dim, *hw)
+        # Stacking wins only where NHWC lane occupancy is poor (C ≤ 64:
+        # measured 1.23× at 512²×48/th32; at C=96 the halo waste eats the
+        # occupancy gain — 0.79×, scripts/microbench_block_stack.py).
+        if dim <= 64 and stack_ok(chw_shape, min(len(blocks), 4)):
+            interp = jax.default_backend() != "tpu"  # CPU tests interpret
+            if not is_chw:
+                x = to_chw(x)
+            k = 0
+            while k < len(blocks):
+                chunk = blocks[k: k + 4]
+                packed = pack_block_params(
+                    [blk.gated_params() for blk in chunk], x.dtype)
+                x = fused_block_stack(x, *packed, interpret=interp)
+                k += 4
+            return x, True
+        if is_chw:
+            x = from_chw(x)
+        for blk in blocks:
+            x = blk(x)
+        return x, False
+
+    def _forward_fast(self, img: jnp.ndarray, filtering: bool) -> jnp.ndarray:
+        from irdu_tpu.models.chw import (
+            downsample2x2_chw, from_chw, pointwise_chw, to_chw, upsample2x2_chw)
+
+        def as_chw(pair):
+            x, c = pair
+            return x if c else to_chw(x)
+
+        x = self.patch_3x3_embeding(img)           # NHWC (XLA 3×3 conv)
+        cur = (x, False)
+        codes = []
+        for s in range(4):
+            cur = self._run_blocks_fast(*cur, self.encoder_scales[s],
+                                        self.dims[s])
+            codes.append(cur)
+            if s < 3:
+                x, is_chw = cur
+                kern = self.down_samples[s].variables["params"]["kernel"]
+                if is_chw:
+                    cur = (downsample2x2_chw(x, kern), True)
+                else:
+                    cur = (self.down_samples[s](x), False)
+
+        if filtering:
+            codes = [
+                (self.local_filters[s](as_chw(codes[s]), chw=True), True)
+                if codes[s][1]
+                else (self.local_filters[s](codes[s][0]), False)
+                for s in range(4)
+            ]
+
+        x, is_chw = codes[3]
+        for s in (2, 1, 0):
+            kern = self.up_samples[s].variables["params"]["kernel"]
+            skip, skip_chw = codes[s]
+            if is_chw or skip_chw:
+                x = upsample2x2_chw(x if is_chw else to_chw(x), kern)
+                skip = skip if skip_chw else to_chw(skip)
+                x = jnp.concatenate([x, skip], axis=1)
+                kc = self.combine_channels[s].variables["params"]["kernel"]
+                x = pointwise_chw(x, kc)
+                is_chw = True
+            else:
+                x = self.up_samples[s](x)
+                x = jnp.concatenate([x, skip], axis=-1)
+                x = self.combine_channels[s](x)
+            x, is_chw = self._run_blocks_fast(x, is_chw,
+                                              self.decoder_scales[s],
+                                              self.dims[s])
+        x, is_chw = self._run_blocks_fast(x, is_chw, self.refining_block,
+                                          self.dims[0])
+        if is_chw:
+            ko = self.linear_output.variables["params"]["kernel"]
+            return from_chw(pointwise_chw(x, ko))
+        return self.linear_output(x)
+
     def filtering(self, codes):
         """Per-scale unrolled graph filtering (reference filtering,
         v1x0.py:1117-1131)."""
@@ -155,9 +263,13 @@ class AbstractMultiScaleGraphFilter(nn.Module):
         return self.linear_output(x)
 
     def enc_dec(self, img: jnp.ndarray) -> jnp.ndarray:
+        if self._fast_ok(img.shape):
+            return self._forward_fast(img, filtering=False)
         return self.decode(self.encode(img))
 
     def __call__(self, img: jnp.ndarray) -> jnp.ndarray:
+        if self._fast_ok(img.shape):
+            return self._forward_fast(img, filtering=True)
         return self.decode(self.filtering(self.encode(img)))
 
 

@@ -179,10 +179,15 @@ class MixtureGTVGLR(nn.Module):
                 and h % 16 == 0 and w % 256 == 0
                 and (h // 2) % 8 == 0)
 
-    def _forward_chw(self, patchs: jnp.ndarray) -> jnp.ndarray:
+    def _forward_chw(self, patchs: jnp.ndarray,
+                     chw_in: bool = False) -> jnp.ndarray:
         """The same unroll routed through the fused CHW Pallas kernels
         (ops/pallas/solver_chw.py). Numerics match the jnp path to bf16
-        tolerance; every step cites the same reference lines."""
+        tolerance; every step cites the same reference lines.
+
+        chw_in: patchs is already (B, C, H, W) (the model-level CHW fast
+        path) — the feature heads run as CHW einsums on the stored flax
+        params and the result stays CHW."""
         from irdu_tpu.ops.pallas.solver_chw import (
             _stats_pg,
             box_down_chw,
@@ -194,7 +199,10 @@ class MixtureGTVGLR(nn.Module):
 
         import jax
 
-        b, h, w, c = patchs.shape
+        if chw_in:
+            b, c, h, w = patchs.shape
+        else:
+            b, h, w, c = patchs.shape
         g, f = self.n_graphs, self.n_node_fts
         h2, w2 = h // 2, w // 2
         interp = jax.default_backend() != "tpu"  # CPU tests run interpreted
@@ -202,9 +210,19 @@ class MixtureGTVGLR(nn.Module):
         def chw(a):
             return jnp.transpose(a, (0, 3, 1, 2))
 
-        # feature heads stay NHWC (1×1 convs ride the MXU), then transpose
-        f00 = chw(self.feat00(patchs))
-        f01 = chw(self.feat01_point(self.feat01_down(patchs)))
+        if chw_in:
+            from irdu_tpu.models.chw import downsample2x2_chw, pointwise_chw
+
+            f00 = pointwise_chw(
+                patchs, self.feat00.variables["params"]["kernel"])
+            f01 = pointwise_chw(
+                downsample2x2_chw(
+                    patchs, self.feat01_down.variables["params"]["kernel"]),
+                self.feat01_point.variables["params"]["kernel"])
+        else:
+            # feature heads stay NHWC (1×1 convs on the MXU), then transpose
+            f00 = chw(self.feat00(patchs))
+            f01 = chw(self.feat01_point(self.feat01_down(patchs)))
         # GTV and GLR features share the head output (B, 2C, H, W) with
         # aligned (graph, feature) grouping — extract both ops' weights in
         # ONE kernel call by treating them as 2G graphs.
@@ -249,7 +267,9 @@ class MixtureGTVGLR(nn.Module):
             a = repeat_per_graph(self.beta_cgd[i], f)
             return a[None, :, None, None]
 
-        y = chw(patchs)
+        y = patchs if chw_in else chw(patchs)
+        out_t = (lambda a: a) if chw_in else (
+            lambda a: jnp.transpose(a, (0, 2, 3, 1)))
         zero = jnp.zeros_like(mu00)
 
         # ADMM init RHS: y + ρ₀·Cᵀ₀C₀y + ρ₁·Up(Cᵀ₁C₁·Down y)  (v1x0.py:738-749)
@@ -262,7 +282,7 @@ class MixtureGTVGLR(nn.Module):
         res00 = out00 - matvec(out00)
         out01 = out00 + alpha_c(0) * res00
         if self.eval_cg_iters == 1:
-            return jnp.transpose(out01, (0, 2, 3, 1))
+            return out_t(out01)
 
         # ADMM re-threshold + new RHS (v1x0.py:757-781)
         rhs_b = (gtv_rethresh_chw(out01, y, w_gtv00, pgtv00, gamma00, ro00,
@@ -277,14 +297,25 @@ class MixtureGTVGLR(nn.Module):
         res01 = rhs_b - matvec(out01)
         out02 = out01 + alpha_c(1) * res01
         if self.eval_cg_iters == 2:
-            return jnp.transpose(out02, (0, 2, 3, 1))
+            return out_t(out02)
         res03 = rhs_b - matvec(out02)
         update03 = res03 + beta_c(2) * res01
         out03 = out02 + alpha_c(2) * update03
 
-        return jnp.transpose(out03, (0, 2, 3, 1))
+        return out_t(out03)
 
-    def __call__(self, patchs: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, patchs: jnp.ndarray, chw: bool = False) -> jnp.ndarray:
+        if chw:
+            # (B, C, H, W) in/out — the model-level CHW fast path.
+            b, c, h, w = patchs.shape
+            if (self.use_pallas_unroll
+                    and not self.is_initializing()
+                    and self.feature_head == "pointwise"
+                    and self._chw_ok((b, h, w, c))):
+                return self._forward_chw(patchs, chw_in=True)
+            from irdu_tpu.models.chw import from_chw, to_chw
+
+            return to_chw(self.__call__(from_chw(patchs)))
         if self.use_pallas_unroll and self._chw_ok(patchs.shape):
             return self._forward_chw(patchs)
 
