@@ -182,6 +182,52 @@ def _assemble(body, halos, halo, grow_to=0):
 
 
 # ---------------------------------------------------------------------------
+# per-plane op bodies, shared by all kernels below. Each takes one
+# assembled (rows, W) f32 plane plus shift closures (sh: graph-op reads,
+# shs: stats pad mode, shz: zero pad) and returns a (rows, W) plane.
+# ---------------------------------------------------------------------------
+
+
+def _gtv_quad_plane(x, wgtv, pgtv, g, f, deltas, sh, shs, shz):
+    """statsᵀ(Σ_e [w·ε − shift₋ₑ⁰(w·ε)]), ε = w·(s₂ − shift_e s₂) — the
+    CᵀC quadratic GTV term (ops.graph.gtv_apply)."""
+    s2 = _stats2(x, pgtv, g, f, shs)
+    acc = None
+    for (dh, dw), we in zip(deltas, wgtv):
+        eps = we * (s2 - sh(s2, dh, dw))
+        wei = we * eps
+        term = wei - shz(wei, -dh, -dw)
+        acc = term if acc is None else acc + term
+    return _stats2_t(acc, pgtv, g, f, shz)
+
+
+def _glr_plane(x, wglr, pglr, g, f, deltas, sh, shs, shz):
+    """statsᵀ(s − Σ_e w_e ⊙ shift_e(s)), s = stats(x) (ops.graph.glr_apply)."""
+    s = _stats2(x, pglr, g, f, shs)
+    wx = None
+    for (dh, dw), we in zip(deltas, wglr):
+        term = we * sh(s, dh, dw)
+        wx = term if wx is None else wx + term
+    return _stats2_t(s - wx, pglr, g, f, shz)
+
+
+def _rethresh_plane(x, wgtv, pgtv, g, f, gamma, deltas, sh, shs, shz):
+    """Cᵀ(2·S_γ(Cx) − Cx): the ADMM re-threshold body
+    (reference v1x0.py:757-781)."""
+    s2 = _stats2(x, pgtv, g, f, shs)
+    acc = None
+    for (dh, dw), we in zip(deltas, wgtv):
+        eps = we * (s2 - sh(s2, dh, dw))
+        thr = (jnp.where(eps < -gamma, eps + gamma, 0.0)
+               + jnp.where(eps > gamma, eps - gamma, 0.0))
+        t = 2.0 * thr - eps
+        wei = we * t
+        term = wei - shz(wei, -dh, -dw)
+        acc = term if acc is None else acc + term
+    return _stats2_t(acc, pgtv, g, f, shz)
+
+
+# ---------------------------------------------------------------------------
 # kernel bodies
 # ---------------------------------------------------------------------------
 
@@ -217,28 +263,11 @@ def _matvec_kernel(x_ref, xh_ref, wglr_ref, wglrh_ref, wgtv_ref, wgtvh_ref,
     for f in range(n_f):
         x = _assemble(x_ref[0, 0, f], xh_ref[0, 0, f, 0],
                       hx).astype(jnp.float32)              # (rows, W)
-
-        # GTV: statsᵀ(Σ_e [w_e·ε_e − shift₋ₑ⁰(w_e·ε_e)]),
-        #      ε_e = w_e·(s₂ − shift_e s₂)
-        s2 = _stats2(x, pgtv, gidx, f, shs)
-        acc = None
-        for e, (dh, dw) in enumerate(deltas):
-            we = wgtv[e]
-            eps = we * (s2 - sh(s2, dh, dw))
-            wei = we * eps
-            term = wei - shz(wei, -dh, -dw)
-            acc = term if acc is None else acc + term
-        out = ro * _stats2_t(acc, pgtv, gidx, f, shz)
-
+        out = ro * _gtv_quad_plane(x, wgtv, pgtv, gidx, f, deltas,
+                                   sh, shs, shz)
         if with_glr:
-            # GLR: statsᵀ(s − Σ_e w_e ⊙ shift_e(s)), s = stats(x)
-            s = _stats2(x, pglr, gidx, f, shs)
-            wx = None
-            for e, (dh, dw) in enumerate(deltas):
-                term = wglr[e] * sh(s, dh, dw)
-                wx = term if wx is None else wx + term
-            out = out + mu * _stats2_t(s - wx, pglr, gidx, f, shz)
-
+            out = out + mu * _glr_plane(x, wglr, pglr, gidx, f, deltas,
+                                        sh, shs, shz)
         if add_identity:
             out = out + x
         out_ref[0, 0, f] = out[hx:hx + tile_h].astype(out_ref.dtype)
@@ -268,19 +297,8 @@ def _rethresh_kernel(x_ref, xh_ref, y_ref, wgtv_ref, wgtvh_ref, pgtv_ref,
     for f in range(n_f):
         x = _assemble(x_ref[0, 0, f], xh_ref[0, 0, f, 0],
                       hx).astype(jnp.float32)
-        s2 = _stats2(x, pgtv, gidx, f, shs)
-        acc = None
-        for e, (dh, dw) in enumerate(deltas):
-            we = wgtv[e]
-            eps = we * (s2 - sh(s2, dh, dw))
-            # ε − bias = 2·S_γ(Cx) − Cx  (reference v1x0.py:757-781)
-            thr = (jnp.where(eps < -gamma, eps + gamma, 0.0)
-                   + jnp.where(eps > gamma, eps - gamma, 0.0))
-            t = 2.0 * thr - eps
-            wei = we * t
-            term = wei - shz(wei, -dh, -dw)
-            acc = term if acc is None else acc + term
-        out = (ro * _stats2_t(acc, pgtv, gidx, f, shz))[hx:hx + tile_h]
+        out = (ro * _rethresh_plane(x, wgtv, pgtv, gidx, f, gamma, deltas,
+                                    sh, shs, shz))[hx:hx + tile_h]
         if include_y:
             out = out + y_ref[0, 0, f].astype(jnp.float32)
         out_ref[0, 0, f] = out.astype(out_ref.dtype)
@@ -322,6 +340,296 @@ def _edgew_kernel(f_ref, fh_ref, m_ref, out_ref, *, n_f, tile_h, true_h,
     for e in range(len(deltas)):
         out_ref[0, 0, e] = (exps[e] / den).astype(
             out_ref.dtype)[r:r + tile_h]
+
+
+# ---------------------------------------------------------------------------
+# fused whole-step kernel: one pallas_call per unroll step
+# ---------------------------------------------------------------------------
+#
+# The three kernels above leave the unroll as ~12 pallas_calls per
+# filtering block with XLA glue (box resample, CG axpys) between them —
+# each boundary is an HBM round trip of the full latent plus the ~0.13 ms
+# per-call fixed cost on this rig. The fused kernel computes ONE whole
+# unroll step per call:
+#
+#   mode "rhs":      out = x + ρ₀·Q₀(x) [+ Up(ρ₁·Q₁(Dn x))]
+#                    (ADMM init RHS, reference v1x0.py:738-749;
+#                     pixel family v6.py:930-940)
+#   mode "cg":       r   = rhs − A·x,  A = I + μ⊙GLR + ρ⊙Q  per scale
+#                    upd = r [+ β⊙prev]
+#                    out = x + α⊙upd   (CG step, v1x0.py:751-753/784-790)
+#   mode "rethresh": out = [y +] ρ₀·R₀(x) [+ Up(ρ₁·R₁(Dn x))]
+#                    (ADMM re-threshold + RHS rebuild, v1x0.py:757-781)
+#
+# where Q = CᵀC (gtv quad), R = Cᵀ(2S_γ(C·) − C·). The flagship's second
+# scale (box 2×2 down/up, v1x0.py:642-682) is folded IN-KERNEL: box
+# down/up run as tiny 0/1-matrix matmuls on the otherwise-idle MXU
+# (rows and lanes separately), so the half-res contribution costs no
+# extra pallas_call and no HBM round trip. The x band is gathered with a
+# doubled halo (2·hx full-res rows = hx half-res rows) so both scales'
+# stencils read from one operand.
+# ---------------------------------------------------------------------------
+
+
+def _updown_mats(rows_x, w, w2, tile):
+    """0/1 resampling matrices (f32, built from iota): Rd/Cd box-down the
+    assembled band (rows pair-summed / lanes pair-summed), Ru/Cu duplicate
+    rows/lanes back up. Matmuls with these run on the MXU."""
+    def iota2(m, n):
+        return (jax.lax.broadcasted_iota(jnp.int32, (m, n), 0),
+                jax.lax.broadcasted_iota(jnp.int32, (m, n), 1))
+
+    a, b = iota2(rows_x // 2, rows_x)
+    rd = (b // 2 == a).astype(jnp.float32)
+    a, b = iota2(w, w2)
+    cd = (a // 2 == b).astype(jnp.float32)
+    a, b = iota2(tile, tile // 2)
+    ru = (a // 2 == b).astype(jnp.float32)
+    a, b = iota2(w2, w)
+    cu = (b // 2 == a).astype(jnp.float32)
+    return rd, cd, ru, cu
+
+
+def _dot(a, b):
+    return jax.lax.dot(a, b, preferred_element_type=jnp.float32)
+
+
+def _fused_kernel(x_ref, xh_ref, aux_ref, prev_ref,
+                  wglr0_ref, wglr0h_ref, wgtv0_ref, wgtv0h_ref,
+                  wglr1_ref, wglr1h_ref, wgtv1_ref, wgtv1h_ref,
+                  pglr0_ref, pgtv0_ref, pglr1_ref, pgtv1_ref,
+                  scal_ref, *out_refs,
+                  n_f, tile, true_h, true_w, deltas, stats_mode, mode,
+                  two_scale, with_glr, no_stats, use_x_rhs, has_prev,
+                  emit_update, include_y, interpret):
+    gidx = pl.program_id(1)
+    i = pl.program_id(2)
+    hx, hw = _halo_x(deltas), _halo_w(deltas)
+    hb = 2 * hx if two_scale else hx       # x-band halo (full-res rows)
+    n_e = len(deltas)
+    w = x_ref.shape[-1]
+
+    grows0 = (jax.lax.broadcasted_iota(jnp.int32, (tile + 2 * hx, 1), 0)
+              + i * tile - hx)
+    sh0 = functools.partial(_shift, grows=grows0, true_h=true_h,
+                            true_w=true_w, interpret=interpret)
+    shs0 = functools.partial(sh0, mode=stats_mode)
+    shz0 = functools.partial(sh0, zero=True)
+
+    # per-graph scalars (SMEM): [μ₀, ρ₀, μ₁, ρ₁, α, β, γ₀, γ₁]
+    mu0, ro0 = scal_ref[gidx, 0], scal_ref[gidx, 1]
+    mu1, ro1 = scal_ref[gidx, 2], scal_ref[gidx, 3]
+    alpha, beta = scal_ref[gidx, 4], scal_ref[gidx, 5]
+    gam0, gam1 = scal_ref[gidx, 6], scal_ref[gidx, 7]
+
+    pglr0 = None if no_stats else pglr0_ref
+    pgtv0 = None if no_stats else pgtv0_ref
+    pglr1 = None if no_stats else pglr1_ref
+    pgtv1 = None if no_stats else pgtv1_ref
+
+    def asm(body_ref, halo_ref, halo, grow_to):
+        return [_assemble(body_ref[0, 0, e].astype(jnp.float32),
+                          halo_ref[0, 0, e, 0].astype(jnp.float32),
+                          halo, grow_to=grow_to) for e in range(n_e)]
+
+    need_glr = mode == "cg" and with_glr
+    wgtv0 = asm(wgtv0_ref, wgtv0h_ref, hw, hx)
+    wglr0 = asm(wglr0_ref, wglr0h_ref, hw, hx) if need_glr else None
+
+    if two_scale:
+        tile2 = tile // 2
+        rows_x = tile + 2 * hb
+        rows_h = rows_x // 2                       # tile2 + 2·hx
+        w2 = w // 2
+        th2, tw2 = true_h // 2, true_w // 2
+        grows1 = (jax.lax.broadcasted_iota(jnp.int32, (rows_h, 1), 0)
+                  + i * tile2 - hx)
+        sh1 = functools.partial(_shift, grows=grows1, true_h=th2,
+                                true_w=tw2, interpret=interpret)
+        shs1 = functools.partial(sh1, mode=stats_mode)
+        shz1 = functools.partial(sh1, zero=True)
+        rd, cd, ru, cu = _updown_mats(rows_x, w, w2, tile)
+        wgtv1 = asm(wgtv1_ref, wgtv1h_ref, hw, hx)
+        wglr1 = asm(wglr1_ref, wglr1h_ref, hw, hx) if need_glr else None
+
+    for f in range(n_f):
+        xb = _assemble(x_ref[0, 0, f], xh_ref[0, 0, f, 0],
+                       hb).astype(jnp.float32)     # (tile + 2·hb, W)
+        xf = xb[hb - hx: hb + hx + tile]           # full-res view + hx halo
+        xbody = xf[hx: hx + tile]
+
+        # -- second scale (in-kernel box-down → op → box-up) --------------
+        if two_scale:
+            xd = 0.25 * _dot(_dot(rd, xb), cd)     # (rows_h, W/2)
+            if mode == "rethresh":
+                t1 = ro1 * _rethresh_plane(xd, wgtv1, pgtv1, gidx, f, gam1,
+                                           deltas, sh1, shs1, shz1)
+            else:
+                t1 = ro1 * _gtv_quad_plane(xd, wgtv1, pgtv1, gidx, f,
+                                           deltas, sh1, shs1, shz1)
+                if need_glr:
+                    t1 = t1 + mu1 * _glr_plane(xd, wglr1, pglr1, gidx, f,
+                                               deltas, sh1, shs1, shz1)
+            # box_up2x2 duplicates AND scales by 0.25 (models.layers)
+            up = 0.25 * _dot(ru, _dot(t1[hx: hx + tile2], cu))  # (tile, W)
+
+        # -- first scale ---------------------------------------------------
+        if mode == "rethresh":
+            t0 = ro0 * _rethresh_plane(xf, wgtv0, pgtv0, gidx, f, gam0,
+                                       deltas, sh0, shs0, shz0)
+        else:
+            t0 = ro0 * _gtv_quad_plane(xf, wgtv0, pgtv0, gidx, f,
+                                       deltas, sh0, shs0, shz0)
+            if need_glr:
+                t0 = t0 + mu0 * _glr_plane(xf, wglr0, pglr0, gidx, f,
+                                           deltas, sh0, shs0, shz0)
+        t0 = t0[hx: hx + tile]
+        if two_scale:
+            t0 = t0 + up
+
+        if mode == "rhs":
+            out = xbody + t0
+        elif mode == "rethresh":
+            out = t0
+            if include_y:
+                out = out + aux_ref[0, 0, f].astype(jnp.float32)
+        else:  # cg
+            ax = xbody + t0
+            rhs = xbody if use_x_rhs else aux_ref[0, 0, f].astype(jnp.float32)
+            upd = rhs - ax
+            if has_prev:
+                upd = upd + beta * prev_ref[0, 0, f].astype(jnp.float32)
+            out = xbody + alpha * upd
+            if emit_update:
+                out_refs[1][0, 0, f] = upd.astype(out_refs[1].dtype)
+        out_refs[0][0, 0, f] = out.astype(out_refs[0].dtype)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "mode", "n_graphs", "true_h", "true_w", "deltas", "stats_mode",
+    "with_glr", "use_x_rhs", "emit_update", "interpret"))
+def gg_fused_step_chw(x, aux, prev, w_gtv0, w_glr0, w_gtv1, w_glr1,
+                      pgtv0, pglr0, pgtv1, pglr1, scal, *, mode,
+                      n_graphs, true_h, true_w, deltas=CROSS4,
+                      stats_mode="edge", with_glr=True, use_x_rhs=False,
+                      emit_update=False, interpret=False):
+    """One fused unroll step (see the mode table above).
+
+    x: (B, C, H, W). aux: rhs ("cg", unless use_x_rhs) or y ("rethresh",
+    optional) or None. prev: previous CG update direction (β-momentum) or
+    None. w_*0: (B, G, E, H, W) full-res edge weights; w_*1:
+    (B, G, E, H/2, W/2) half-res weights or None (single-scale). p*:
+    (G, 4, F) stats tables or None (no_orders). scal: (G, 8) f32 table
+    [μ₀, ρ₀, μ₁, ρ₁, α, β, γ₀, γ₁] (unused entries zero).
+
+    Returns out, or (out, update) when emit_update ("cg" only).
+    """
+    b, c, h, w = x.shape
+    g = n_graphs
+    f = c // g
+    n_e = len(deltas)
+    two_scale = w_gtv1 is not None
+    hx, hw = _halo_x(deltas), _halo_w(deltas)
+    hb = 2 * hx if two_scale else hx
+    if two_scale:
+        th = 32 if h % 32 == 0 else 16
+    else:
+        th = _pick_tile_h(h)
+    nb = h // th
+    has_prev = prev is not None
+    include_y = mode == "rethresh" and aux is not None
+    need_aux = include_y or (mode == "cg" and not use_x_rhs)
+
+    xv = x.reshape(b, g, f, h, w)
+    xh = _gather_halos(xv, th, hb)
+
+    def body_or_dummy(a, k):
+        if a is None:
+            return jnp.zeros((b, g, k, 8, w), x.dtype), _dummy_spec(k, 8, w)
+        return a.reshape(b, g, k, h, w), _body_spec(k, th, w)
+
+    aux_in, aux_spec = body_or_dummy(aux if need_aux else None, f)
+    prev_in, prev_spec = body_or_dummy(prev, f)
+
+    def w_or_dummy(a, hh, ww, tt):
+        """Full-res or half-res weight operand + its gathered halo."""
+        if a is None:
+            return ((jnp.zeros((b, g, n_e, 8, w), x.dtype),
+                     _dummy_spec(n_e, 8, w)),
+                    (jnp.zeros((b, g, n_e, 1, 2, w), x.dtype),
+                     pl.BlockSpec((1, 1, n_e, 1, 2, w),
+                                  lambda b_, g_, i_: (b_, g_, 0, 0, 0, 0),
+                                  memory_space=pltpu.VMEM)))
+        return ((a, _body_spec(n_e, tt, ww)),
+                (_gather_halos(a, tt, hw), _halo_spec(n_e, 2 * hw, ww)))
+
+    need_glr = mode == "cg" and with_glr
+    (wgtv0_in, wgtv0_spec), (wgtv0h_in, wgtv0h_spec) = \
+        w_or_dummy(w_gtv0, h, w, th)
+    (wglr0_in, wglr0_spec), (wglr0h_in, wglr0h_spec) = \
+        w_or_dummy(w_glr0 if need_glr else None, h, w, th)
+    (wgtv1_in, wgtv1_spec), (wgtv1h_in, wgtv1h_spec) = \
+        w_or_dummy(w_gtv1 if two_scale else None, h // 2, w // 2, th // 2)
+    (wglr1_in, wglr1_spec), (wglr1h_in, wglr1h_spec) = \
+        w_or_dummy(w_glr1 if (two_scale and need_glr) else None,
+                   h // 2, w // 2, th // 2)
+
+    no_stats = pgtv0 is None
+    dummy_p = jnp.zeros((g, 4, f), jnp.float32)
+    pgtv0_in = dummy_p if pgtv0 is None else pgtv0
+    pglr0_in = dummy_p if pglr0 is None else pglr0
+    pgtv1_in = dummy_p if pgtv1 is None else pgtv1
+    pglr1_in = dummy_p if pglr1 is None else pglr1
+
+    kernel = functools.partial(
+        _fused_kernel, n_f=f, tile=th, true_h=true_h, true_w=true_w,
+        deltas=deltas, stats_mode=stats_mode, mode=mode,
+        two_scale=two_scale, with_glr=with_glr, no_stats=no_stats,
+        use_x_rhs=use_x_rhs, has_prev=has_prev, emit_update=emit_update,
+        include_y=include_y, interpret=interpret)
+    out_shape = jax.ShapeDtypeStruct((b, g, f, h, w), x.dtype)
+    out_shapes = (out_shape, out_shape) if emit_update else (out_shape,)
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=out_shapes,
+        grid=(b, g, nb),
+        in_specs=[
+            _body_spec(f, th, w),
+            _halo_spec(f, 2 * hb, w),
+            aux_spec,
+            prev_spec,
+            wglr0_spec, wglr0h_spec,
+            wgtv0_spec, wgtv0h_spec,
+            wglr1_spec, wglr1h_spec,
+            wgtv1_spec, wgtv1h_spec,
+            _smem_spec(pglr0_in.shape),
+            _smem_spec(pgtv0_in.shape),
+            _smem_spec(pglr1_in.shape),
+            _smem_spec(pgtv1_in.shape),
+            _smem_spec(scal.shape),
+        ],
+        out_specs=tuple(_body_spec(f, th, w) for _ in out_shapes),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM),
+        interpret=interpret,
+    )(xv, xh, aux_in, prev_in,
+      wglr0_in, wglr0h_in, wgtv0_in, wgtv0h_in,
+      wglr1_in, wglr1h_in, wgtv1_in, wgtv1h_in,
+      pglr0_in, pgtv0_in, pglr1_in, pgtv1_in, scal)
+    if emit_update:
+        return (outs[0].reshape(b, c, h, w), outs[1].reshape(b, c, h, w))
+    return outs[0].reshape(b, c, h, w)
+
+
+def fused_scal(n_graphs, mu0=None, ro0=None, mu1=None, ro1=None,
+               alpha=None, beta=None, gamma0=None, gamma1=None):
+    """Build the (G, 8) scalar table for gg_fused_step_chw."""
+    cols = []
+    for v in (mu0, ro0, mu1, ro1, alpha, beta, gamma0, gamma1):
+        if v is None:
+            cols.append(jnp.zeros((n_graphs,), jnp.float32))
+        else:
+            cols.append(jnp.asarray(v, jnp.float32).reshape(-1))
+    return jnp.stack(cols, axis=1)
 
 
 # ---------------------------------------------------------------------------

@@ -190,11 +190,9 @@ class MixtureGTVGLR(nn.Module):
         params and the result stays CHW."""
         from irdu_tpu.ops.pallas.solver_chw import (
             _stats_pg,
-            box_down_chw,
-            box_up_chw,
             edge_weights_chw,
-            gg_matvec_chw,
-            gtv_rethresh_chw,
+            fused_scal,
+            gg_fused_step_chw,
         )
 
         import jax
@@ -246,61 +244,52 @@ class MixtureGTVGLR(nn.Module):
         ro00, ro01 = pg(self.ro00), pg(self.ro01)
         gamma00, gamma01 = pg(self.gamma00), pg(self.gamma01)
 
-        mv0 = functools.partial(
-            gg_matvec_chw, w_glr=w_glr00, w_gtv=w_gtv00, pglr=pglr00,
-            pgtv=pgtv00, n_graphs=g, true_h=h, true_w=w, interpret=interp)
-        mv1 = functools.partial(
-            gg_matvec_chw, w_glr=w_glr01, w_gtv=w_gtv01, pglr=pglr01,
-            pgtv=pgtv01, n_graphs=g, true_h=h2, true_w=w2,
-            add_identity=False, interpret=interp)
+        # Whole unroll steps as single fused two-scale kernels (box 2×2
+        # down/up folded in-kernel as MXU matmuls; CG axpys folded): one
+        # pallas_call per step instead of ~12 + XLA glue per block.
+        fused = functools.partial(
+            gg_fused_step_chw, n_graphs=g, true_h=h, true_w=w,
+            interpret=interp)
 
-        def matvec(x):
-            """A·x (reference apply_lightweight_transformer, v1x0.py:642-682)."""
-            return (mv0(x, mu=mu00, ro=ro00)
-                    + box_up_chw(mv1(box_down_chw(x), mu=mu01, ro=ro01)))
-
-        def alpha_c(i):
-            a = repeat_per_graph(self.alpha_cgd[i], f)
-            return a[None, :, None, None]
-
-        def beta_c(i):
-            a = repeat_per_graph(self.beta_cgd[i], f)
-            return a[None, :, None, None]
+        def scal_cg(i, with_beta=False):
+            return fused_scal(
+                g, mu0=mu00, ro0=ro00, mu1=mu01, ro1=ro01,
+                alpha=self.alpha_cgd[i],
+                beta=self.beta_cgd[i] if with_beta else None)
 
         y = patchs if chw_in else chw(patchs)
         out_t = (lambda a: a) if chw_in else (
             lambda a: jnp.transpose(a, (0, 2, 3, 1)))
-        zero = jnp.zeros_like(mu00)
 
         # ADMM init RHS: y + ρ₀·Cᵀ₀C₀y + ρ₁·Up(Cᵀ₁C₁·Down y)  (v1x0.py:738-749)
-        rhs_a = (mv0(y, mu=zero, ro=ro00, with_glr=False)
-                 + box_up_chw(mv1(box_down_chw(y), mu=zero, ro=ro01,
-                                  with_glr=False)))
+        rhs_a = fused(y, None, None, w_gtv00, None, w_gtv01, None,
+                      pgtv00, None, pgtv01, None,
+                      fused_scal(g, ro0=ro00, ro1=ro01), mode="rhs")
 
-        # CG step 1 (v1x0.py:751-753) — x₀ = RHS itself
-        out00 = rhs_a
-        res00 = out00 - matvec(out00)
-        out01 = out00 + alpha_c(0) * res00
+        # CG step 1 (v1x0.py:751-753) — x₀ = RHS itself, so rhs ≡ x
+        out01 = fused(rhs_a, None, None, w_gtv00, w_glr00, w_gtv01, w_glr01,
+                      pgtv00, pglr00, pgtv01, pglr01, scal_cg(0),
+                      mode="cg", use_x_rhs=True)
         if self.eval_cg_iters == 1:
             return out_t(out01)
 
         # ADMM re-threshold + new RHS (v1x0.py:757-781)
-        rhs_b = (gtv_rethresh_chw(out01, y, w_gtv00, pgtv00, gamma00, ro00,
-                                  n_graphs=g, true_h=h, true_w=w,
-                                  interpret=interp)
-                 + box_up_chw(gtv_rethresh_chw(
-                     box_down_chw(out01), None, w_gtv01, pgtv01, gamma01,
-                     ro01, n_graphs=g, true_h=h2, true_w=w2,
-                     interpret=interp)))
+        rhs_b = fused(out01, y, None, w_gtv00, None, w_gtv01, None,
+                      pgtv00, None, pgtv01, None,
+                      fused_scal(g, ro0=ro00, ro1=ro01, gamma0=gamma00,
+                                 gamma1=gamma01), mode="rethresh")
 
         # CG steps 2–3 with β-momentum (β[1] unused by design, v1x0.py:784-790)
-        res01 = rhs_b - matvec(out01)
-        out02 = out01 + alpha_c(1) * res01
+        emit = self.eval_cg_iters >= 3
+        step2 = fused(out01, rhs_b, None, w_gtv00, w_glr00, w_gtv01, w_glr01,
+                      pgtv00, pglr00, pgtv01, pglr01, scal_cg(1),
+                      mode="cg", emit_update=emit)
         if self.eval_cg_iters == 2:
-            return out_t(out02)
-        res03 = rhs_b - matvec(out02)
-        update03 = res03 + beta_c(2) * res01
-        out03 = out02 + alpha_c(2) * update03
+            return out_t(step2)
+        out02, update01 = step2
+        out03 = fused(out02, rhs_b, update01, w_gtv00, w_glr00, w_gtv01,
+                      w_glr01, pgtv00, pglr00, pgtv01, pglr01,
+                      scal_cg(2, with_beta=True), mode="cg")
 
         return out_t(out03)
 

@@ -132,8 +132,8 @@ class MixtureGTV(nn.Module):
         from irdu_tpu.ops.pallas.solver_chw import (
             _stats_pg,
             edge_weights_chw,
-            gg_matvec_chw,
-            gtv_rethresh_chw,
+            fused_scal,
+            gg_fused_step_chw,
         )
 
         b, h, w, c = patchs.shape
@@ -162,44 +162,40 @@ class MixtureGTV(nn.Module):
         pglr = _stats_pg(self.glr00.stats, g, self.n_node_fts)
         gamma = jnp.exp(self.gamma00)
 
-        mv = functools.partial(
-            gg_matvec_chw, w_glr=w_glr, w_gtv=w_gtv, pglr=pglr, pgtv=pgtv,
-            mu=self.muys00, ro=self.ro00, n_graphs=g, true_h=h, true_w=w,
-            deltas=d, stats_mode="reflect", interpret=interp)
+        # Whole unroll steps as single fused kernels (single scale; CG
+        # axpys + β-momentum folded in-kernel): 6 pallas_calls total.
+        fused = functools.partial(
+            gg_fused_step_chw, w_gtv1=None, w_glr1=None, pgtv1=None,
+            pglr1=None, n_graphs=g, true_h=h, true_w=w, deltas=d,
+            stats_mode="reflect", interpret=interp)
 
-        def pg(vec, i):
-            a = jnp.repeat(vec[i], self.n_node_fts)
-            return a[None, :, None, None]
+        def scal_cg(i, with_beta):
+            return fused_scal(
+                g, mu0=self.muys00, ro0=self.ro00, alpha=self.alpha_cgd[i],
+                beta=self.beta_cgd[i] if with_beta else None)
 
         y = chw(jnp.tile(y_tilde, (1, 1, 1, g)))
 
         # round 1: rhs = ỹ + ρ·CᵀC ỹ (bias 0)
-        rhs = gg_matvec_chw(
-            y, None, w_gtv, None, pgtv, self.muys00 * 0.0, self.ro00,
-            n_graphs=g, true_h=h, true_w=w, deltas=d, stats_mode="reflect",
-            with_glr=False, interpret=interp)
-        out = rhs
-        res = rhs - mv(out)
-        update = res
-        out = out + pg(self.alpha_cgd, 0) * update
-        res = rhs - mv(out)
-        update = res + pg(self.beta_cgd, 1) * update
-        out = out + pg(self.alpha_cgd, 1) * update
+        rhs = fused(y, None, None, w_gtv, None, pgtv0=pgtv, pglr0=None,
+                    scal=fused_scal(g, ro0=self.ro00), mode="rhs")
+        out, update = fused(rhs, None, None, w_gtv, w_glr, pgtv0=pgtv,
+                            pglr0=pglr, scal=scal_cg(0, False), mode="cg",
+                            use_x_rhs=True, emit_update=True)
+        out = fused(out, rhs, update, w_gtv, w_glr, pgtv0=pgtv, pglr0=pglr,
+                    scal=scal_cg(1, True), mode="cg")
 
         # ADMM re-threshold (bias was 0, so ε−bias = 2·S_γ(Cx) − Cx)
-        rhs = gtv_rethresh_chw(
-            out, y, w_gtv, pgtv, gamma, self.ro00, n_graphs=g,
-            true_h=h, true_w=w, deltas=d, stats_mode="reflect",
-            interpret=interp)
+        rhs = fused(out, y, None, w_gtv, None, pgtv0=pgtv, pglr0=None,
+                    scal=fused_scal(g, ro0=self.ro00, gamma0=gamma),
+                    mode="rethresh")
 
         # round 2: CG restart from the new RHS (v6:995)
-        out = rhs
-        res = rhs - mv(out)
-        update = res
-        out = out + pg(self.alpha_cgd, 2) * update
-        res = rhs - mv(out)
-        update = res + pg(self.beta_cgd, 3) * update
-        out = out + pg(self.alpha_cgd, 3) * update
+        out, update = fused(rhs, None, None, w_gtv, w_glr, pgtv0=pgtv,
+                            pglr0=pglr, scal=scal_cg(2, False), mode="cg",
+                            use_x_rhs=True, emit_update=True)
+        out = fused(out, rhs, update, w_gtv, w_glr, pgtv0=pgtv, pglr0=pglr,
+                    scal=scal_cg(3, True), mode="cg")
 
         out = jnp.transpose(out, (0, 2, 3, 1))
 
