@@ -57,6 +57,9 @@ def marginal_seconds(fwd, params, x, n0=3, n1=13, reps=3):
 
 def main():
     from irdu_tpu.models.flagship import AbstractMultiScaleGraphFilter, flagship_config
+    from irdu_tpu.utils.profiling import enable_compile_cache
+
+    enable_compile_cache()
 
     # inference config: bf16 params/activations + fused Pallas gated-block
     # and CHW solver kernels

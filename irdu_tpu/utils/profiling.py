@@ -9,10 +9,29 @@ cost analysis for FLOP counts.
 from __future__ import annotations
 
 import contextlib
+import os
 import time
 from typing import Callable
 
 import jax
+
+
+def enable_compile_cache(repo_root: str | None = None) -> None:
+    """Point JAX at the repo-local persistent compile cache
+    (.cache/jax_compilation). Mosaic/pallas-heavy programs take minutes to
+    compile cold through this rig's tunnel; with the cache they restore in
+    seconds. Safe to call repeatedly (no-op if already configured)."""
+    if repo_root is None:
+        repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+    cache_dir = os.path.join(repo_root, ".cache", "jax_compilation")
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
 
 
 @contextlib.contextmanager
