@@ -1,7 +1,6 @@
-"""Where does enc_dec's time go, and does batching amortize overheads?
+"""Where does enc_dec's time go?
 
 Measures (marginal method, 512² bf16 fast path):
-  * full model at batch 1 / 2 / 4 → MP/s scaling;
   * patch-embed 3×3 conv standalone;
   * per-scale encoder block stacks standalone, via the exact code path the
     model uses (_run_blocks_fast): scale0 rides the CHW flat-lane stacked
@@ -50,13 +49,6 @@ def main():
     x32 = jnp.asarray(rng.rand(1, 512, 512, 3).astype(np.float32))
     params = jax.jit(model.init)(jax.random.PRNGKey(0), x32)
     params = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16), params)
-
-    for b in (1, 2, 4):
-        xb = jnp.asarray(rng.rand(b, 512, 512, 3).astype(np.float32)
-                         ).astype(jnp.bfloat16)
-        t = marginal(lambda z: model.apply(params, z), xb)
-        mp = b * 0.262144 / t
-        print(f"full b={b}: {t*1e3:7.2f} ms ({mp:.2f} MP/s)", flush=True)
 
     # patch embed standalone (NHWC 3×3 conv 3→48 at 512²); the chain
     # carries (B, H, W, 3) by re-slicing the embed output.
