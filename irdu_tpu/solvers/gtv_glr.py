@@ -48,6 +48,10 @@ from irdu_tpu.ops.windows import WINDOWS
 
 from irdu_tpu.solvers.common import GraphOpParams, const_init as _const_init
 
+# Whole-unroll kernel VMEM budget, as a plane-size bound (patchable in
+# tests to force the band-kernel route).
+_MEGA_MAX_PIXELS = 512 * 512
+
 
 class MixtureGTVGLR(nn.Module):
     """Latent two-scale GGTV+GGLR unroll. Input/output: (B, H, W, C) with
@@ -167,17 +171,25 @@ class MixtureGTVGLR(nn.Module):
         return jax.lax.optimization_barrier(t)
 
     def _chw_ok(self, shape) -> bool:
-        """The CHW kernels need cross-4 edges, H and H/2 multiples of 8
-        (row bands), and W, W/2 multiples of 128 (full lanes). Measured on
-        v5e: at W=128 (flagship scale2) the ~0.13 ms fixed cost per
-        pallas_call across the unroll's 14 calls outweighs the kernel win
-        and the jnp path is faster — so smaller scales deliberately fall
-        through (scripts/microbench: jnp 2.12 ms vs CHW 3.82 ms at
-        128²×192)."""
+        """The CHW kernels need cross-4 edges, H and H/2 multiples of 8,
+        and full 128-lane widths. Two kernel flavours cover the shapes:
+        the whole-unroll kernel (see _mega_ok: one pallas_call for the
+        entire solve, full plane in VMEM) and the per-step band kernels
+        (W and W/2 both 128-multiples). Shapes satisfying neither — e.g.
+        flagship scale3 (W=64) — fall through to the jnp path."""
         _, h, w, _ = shape
         return (self.window == "cross4"
-                and h % 16 == 0 and w % 256 == 0
-                and (h // 2) % 8 == 0)
+                and h % 16 == 0 and (h // 2) % 8 == 0
+                and (w % 256 == 0 or self._mega_ok(shape)))
+
+    @staticmethod
+    def _mega_ok(shape) -> bool:
+        """Whole-unroll kernel qualifier (ops/pallas/solver_unroll.py):
+        one (H, W) f32 plane plus per-graph weights must fit VMEM
+        (H·W ≤ 512² measured safe on v5e's 128 MB), W a 128-multiple
+        (half-res operands below 128 lanes get padded)."""
+        _, h, w, _ = shape
+        return h % 16 == 0 and w % 128 == 0 and h * w <= _MEGA_MAX_PIXELS
 
     def _forward_chw(self, patchs: jnp.ndarray,
                      chw_in: bool = False) -> jnp.ndarray:
@@ -204,6 +216,7 @@ class MixtureGTVGLR(nn.Module):
         g, f = self.n_graphs, self.n_node_fts
         h2, w2 = h // 2, w // 2
         interp = jax.default_backend() != "tpu"  # CPU tests run interpreted
+        mega = self._mega_ok((b, h, w, c))
 
         def chw(a):
             return jnp.transpose(a, (0, 3, 1, 2))
@@ -221,6 +234,13 @@ class MixtureGTVGLR(nn.Module):
             # feature heads stay NHWC (1×1 convs on the MXU), then transpose
             f00 = chw(self.feat00(patchs))
             f01 = chw(self.feat01_point(self.feat01_down(patchs)))
+        # Half-res lane padding (whole-unroll path only): when W/2 is not a
+        # 128-multiple (flagship scale2: 64), pad the half-res FEATURES —
+        # the weight kernel then emits lane-padded weight planes whose pad
+        # columns never leak (solver_unroll.py docstring).
+        pad1 = (-w2) % 128 if mega else 0
+        if pad1:
+            f01 = jnp.pad(f01, ((0, 0), (0, 0), (0, 0), (0, pad1)))
         # GTV and GLR features share the head output (B, 2C, H, W) with
         # aligned (graph, feature) grouping — extract both ops' weights in
         # ONE kernel call by treating them as 2G graphs.
@@ -243,6 +263,25 @@ class MixtureGTVGLR(nn.Module):
         mu00, mu01 = pg(self.muys00), pg(self.muys01)
         ro00, ro01 = pg(self.ro00), pg(self.ro01)
         gamma00, gamma01 = pg(self.gamma00), pg(self.gamma01)
+
+        if mega:
+            # The ENTIRE unroll as one pallas_call per filtering block —
+            # one grid program per (b, graph, node-feature plane), iterate/
+            # RHS/momentum resident in VMEM (ops/pallas/solver_unroll.py).
+            from irdu_tpu.ops.pallas.solver_unroll import (
+                gg_unroll_chw,
+                unroll_scal,
+            )
+
+            y = patchs if chw_in else chw(patchs)
+            out = gg_unroll_chw(
+                y, w_gtv00, w_glr00, w_gtv01, w_glr01,
+                pgtv00, pglr00, pgtv01, pglr01,
+                unroll_scal(g, mu00, ro00, mu01, ro01, gamma00, gamma01,
+                            self.alpha_cgd, self.beta_cgd),
+                n_graphs=g, eval_cg_iters=self.eval_cg_iters,
+                interpret=interp)
+            return out if chw_in else jnp.transpose(out, (0, 2, 3, 1))
 
         # Whole unroll steps as single fused two-scale kernels (box 2×2
         # down/up folded in-kernel as MXU matmuls; CG axpys folded): one

@@ -73,7 +73,9 @@ def main():
         p = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16), p)
         xs = xs32.astype(jnp.bfloat16)
         t = marginal(lambda z: m.apply(p, z), xs)
-        path = "CHW-fused" if (hw % 16 == 0 and hw % 256 == 0) else "jnp"
+        shape = (1, hw, hw, c)
+        path = ("mega" if m._mega_ok(shape)
+                else "band" if m._chw_ok(shape) else "jnp")
         print(f"scale{s} ({hw}²×{c}, G={g}, {path}): {t*1e3:6.2f} ms",
               flush=True)
 
