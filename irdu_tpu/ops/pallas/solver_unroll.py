@@ -59,7 +59,8 @@ from irdu_tpu.ops.pallas.solver_chw import (
     _wshift1,
 )
 
-__all__ = ["gg_unroll_chw", "unroll_scal"]
+__all__ = ["gg_unroll_chw", "unroll_scal",
+           "gg_pixel_unroll_chw", "pixel_unroll_scal"]
 
 
 def _hshift_full1(v, dh, mode):
@@ -290,3 +291,130 @@ def gg_unroll_chw(y, w_gtv0, w_glr0, w_gtv1, w_glr1, pgtv0, pglr0,
         interpret=interpret,
     )(yv, w_gtv0, w_glr0, w_gtv1, w_glr1, *ps, scal)
     return out.reshape(b, c, h, w)
+
+
+# ---------------------------------------------------------------------------
+# pixel-family (v1-v8) whole-unroll kernel: single scale, 2 ADMM rounds ×
+# 2 CG steps with accumulating bias (reference model_GLR_GTV_deep_v6.py:
+# 892-1016). Same per-(b, graph, plane) parallelism as the flagship kernel;
+# additionally the G-fold replication of the input image is NEVER
+# materialized — each (b, g, f) program blocks its plane straight out of
+# the un-tiled (B, 1, F, H, W) input. This is the shape class where the
+# per-step band kernels measurably LOST to XLA (PERF.md: 24 hypotheses ×
+# F=3 tiny planes, 12-edge diamond halo recompute, 6 pallas_calls); here
+# every one of those costs is gone.
+# ---------------------------------------------------------------------------
+
+
+def _pixel_unroll_kernel(y_ref, wgtv_ref, wglr_ref, pgtv_ref, pglr_ref,
+                         scal_ref, out_ref, *, n_e, true_w, deltas,
+                         stats_mode, no_stats, interpret):
+    g = pl.program_id(1)
+    f = pl.program_id(2)
+
+    sh = functools.partial(_shift_full, true_w=true_w, interpret=interpret)
+    shs = functools.partial(sh, mode=stats_mode)
+    shz = functools.partial(sh, zero=True)
+
+    wgtv = [wgtv_ref[0, 0, e].astype(jnp.float32) for e in range(n_e)]
+    wglr = [wglr_ref[0, 0, e].astype(jnp.float32) for e in range(n_e)]
+    pgtv = _load_stats(None if no_stats else pgtv_ref, g, f)
+    pglr = _load_stats(None if no_stats else pglr_ref, g, f)
+
+    # per-graph scalars: [μ, ρ, γ, α₀..α₃, β₁, β₃]
+    mu, ro, gam = scal_ref[g, 0], scal_ref[g, 1], scal_ref[g, 2]
+    alpha = [scal_ref[g, 3 + i] for i in range(4)]
+    beta1, beta3 = scal_ref[g, 7], scal_ref[g, 8]
+
+    y = y_ref[0, 0, 0].astype(jnp.float32)
+
+    def q(v):
+        return _gtv_quad_plane(v, wgtv, pgtv, g, f, deltas, sh, shs, shz)
+
+    def matvec(x):
+        """A·x = x + μ·GLR x + ρ·CᵀC x (v6.py:892-911)."""
+        return (x + ro * q(x)
+                + mu * _glr_plane(x, wglr, pglr, g, f, deltas, sh, shs, shz))
+
+    # round 1: ε = C·ỹ, bias 0 → rhs = ỹ + ρ·CᵀC ỹ (v6.py:978-981)
+    rhs = y + ro * q(y)
+    x = rhs
+    upd = rhs - matvec(x)
+    x = x + alpha[0] * upd
+    upd = rhs - matvec(x) + beta1 * upd     # β[0] unused (v6 quirk)
+    x = x + alpha[1] * upd
+
+    # ADMM re-threshold; bias was 0 so ε − bias = 2·S_γ(Cx) − Cx
+    # (v6.py:983-989)
+    rhs = y + ro * _rethresh_plane(x, wgtv, pgtv, g, f, gam, deltas,
+                                   sh, shs, shz)
+
+    # round 2: CG restart from the new RHS (v6.py:995)
+    x = rhs
+    upd = rhs - matvec(x)
+    x = x + alpha[2] * upd
+    upd = rhs - matvec(x) + beta3 * upd     # β[2] unused
+    x = x + alpha[3] * upd
+
+    out_ref[0, 0, 0] = x.astype(out_ref.dtype)
+
+
+def pixel_unroll_scal(n_graphs, mu, ro, gamma, alphas, betas):
+    """(G, 9) scalar table: [μ, ρ, γ, α₀..α₃, β₁, β₃]. alphas/betas:
+    (4, G); only β[1] and β[3] enter the updates (v6 quirk)."""
+    g = n_graphs
+    cols = [jnp.asarray(v, jnp.float32).reshape(g)
+            for v in (mu, ro, gamma, alphas[0], alphas[1], alphas[2],
+                      alphas[3], betas[1], betas[3])]
+    return jnp.stack(cols, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_graphs", "deltas", "stats_mode", "interpret"))
+def gg_pixel_unroll_chw(y, w_gtv, w_glr, pgtv, pglr, scal, *, n_graphs,
+                        deltas, stats_mode="reflect", interpret=False):
+    """The whole pixel-family unroll as ONE pallas_call.
+
+    y: (B, F, H, W) — the UN-tiled DC-corrected image (ỹ); the G-fold
+    hypothesis replication happens virtually via the block index map.
+    w_gtv/w_glr: (B, G, E, H, W). pgtv/pglr: (G, 4, F) stats tables or
+    None. scal: (G, 9) from ``pixel_unroll_scal``.
+    Returns (B, G·F, H, W). Needs H % 8 == 0, W % 128 == 0, H·W ≤ 512².
+    """
+    b, f, h, w = y.shape
+    g = n_graphs
+    n_e = len(deltas)
+    yv = y.reshape(b, 1, f, h, w)
+
+    no_stats = pgtv is None
+    dummy_p = jnp.zeros((g, 4, f), jnp.float32)
+    ps = [dummy_p if p is None else p for p in (pgtv, pglr)]
+
+    kernel = functools.partial(
+        _pixel_unroll_kernel, n_e=n_e, true_w=w, deltas=deltas,
+        stats_mode=stats_mode, no_stats=no_stats, interpret=interpret)
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, g, f, h, w), y.dtype),
+        grid=(b, g, f),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, h, w),
+                         lambda bi, gi, fi: (bi, 0, fi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n_e, h, w),
+                         lambda bi, gi, fi: (bi, gi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n_e, h, w),
+                         lambda bi, gi, fi: (bi, gi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            _smem_spec(ps[0].shape), _smem_spec(ps[1].shape),
+            _smem_spec(scal.shape),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 1, h, w),
+                               lambda bi, gi, fi: (bi, gi, fi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM),
+        interpret=interpret,
+    )(yv, w_gtv, w_glr, *ps, scal)
+    return out.reshape(b, g * f, h, w)

@@ -123,6 +123,16 @@ class MixtureGTV(nn.Module):
         _, h, w, _ = shape
         return h % 8 == 0 and w % 128 == 0
 
+    @staticmethod
+    def _mega_ok(shape) -> bool:
+        """Whole-unroll kernel qualifier (ops/pallas/solver_unroll.py):
+        one (H, W) f32 plane + this family's 24 per-graph 12-edge weight
+        planes must fit VMEM (same H·W ≤ 512² bound as the flagship)."""
+        from irdu_tpu.solvers.gtv_glr import _MEGA_MAX_PIXELS
+
+        _, h, w, _ = shape
+        return h % 8 == 0 and w % 128 == 0 and h * w <= _MEGA_MAX_PIXELS
+
     def _forward_chw(self, patchs: jnp.ndarray) -> jnp.ndarray:
         """The same unroll through the fused CHW kernels (single scale,
         diamond-12 window, reflect stats). Mirrors __call__ step for step;
@@ -161,6 +171,27 @@ class MixtureGTV(nn.Module):
         pgtv = _stats_pg(self.gtv00.stats, g, self.n_node_fts)
         pglr = _stats_pg(self.glr00.stats, g, self.n_node_fts)
         gamma = jnp.exp(self.gamma00)
+
+        if self._mega_ok(patchs.shape):
+            # The ENTIRE unroll as one pallas_call, one grid program per
+            # (b, graph, plane); the G-fold tiling of ỹ never materializes
+            # (ops/pallas/solver_unroll.gg_pixel_unroll_chw).
+            from irdu_tpu.ops.pallas.solver_unroll import (
+                gg_pixel_unroll_chw,
+                pixel_unroll_scal,
+            )
+
+            out = gg_pixel_unroll_chw(
+                chw(y_tilde), w_gtv, w_glr, pgtv, pglr,
+                pixel_unroll_scal(g, self.muys00, self.ro00, gamma,
+                                  self.alpha_cgd, self.beta_cgd),
+                n_graphs=g, deltas=d, interpret=interp)
+            out = jnp.transpose(out, (0, 2, 3, 1))
+            logits = self.combination_weight(ew_feats)
+            score = jax.nn.softmax(logits, axis=-1)
+            out_g = out.reshape(b, h, w, g, self.nchannels_in)
+            combined = jnp.sum(out_g * score[..., None], axis=3)
+            return combined + dc_term
 
         # Whole unroll steps as single fused kernels (single scale; CG
         # axpys + β-momentum folded in-kernel): 6 pallas_calls total.

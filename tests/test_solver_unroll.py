@@ -67,6 +67,38 @@ def test_unroll_chw_in_matches():
                                atol=5e-4, rtol=1e-3)
 
 
+def _pixel_pair(seed=11):
+    from irdu_tpu.solvers.pixel_gtv import MixtureGTV
+
+    rng = np.random.RandomState(seed)
+    x = jnp.asarray(rng.rand(1, 16, 128, 3) * 0.8, jnp.float32)
+    kw = dict(n_graphs=4, n_node_fts=3, n_cnn_fts=8,
+              feature_num_blocks=(1, 1, 1, 1), feature_num_refinement=1)
+    ref_m = MixtureGTV(**kw)
+    params = ref_m.init(jax.random.PRNGKey(1), x)
+    fast_m = MixtureGTV(use_pallas_unroll=True, **kw)
+    return x, ref_m, fast_m, params
+
+
+def test_pixel_unroll_mega_matches():
+    """MixtureGTV routes through the pixel whole-unroll kernel at
+    qualifying shapes (diamond-12, reflect stats, accumulating bias)."""
+    x, ref_m, fast_m, params = _pixel_pair()
+    assert fast_m._mega_ok(x.shape)
+    np.testing.assert_allclose(np.asarray(ref_m.apply(params, x)),
+                               np.asarray(fast_m.apply(params, x)),
+                               atol=1e-4, rtol=1e-3)
+
+
+def test_pixel_band_path_still_matches(monkeypatch):
+    monkeypatch.setattr(gtv_glr_mod, "_MEGA_MAX_PIXELS", 0)
+    x, ref_m, fast_m, params = _pixel_pair(seed=13)
+    assert not fast_m._mega_ok(x.shape)
+    np.testing.assert_allclose(np.asarray(ref_m.apply(params, x)),
+                               np.asarray(fast_m.apply(params, x)),
+                               atol=1e-4, rtol=1e-3)
+
+
 def test_band_path_still_matches(monkeypatch):
     """Forcing the per-step band kernels (mega disabled) must still match —
     the route big images take."""
