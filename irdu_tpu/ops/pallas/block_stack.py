@@ -45,7 +45,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_VMEM = 100 * 1024 * 1024  # v5e has 128 MB physical VMEM
+_VMEM = 112 * 1024 * 1024  # v5e has 128 MB physical; th=64 needs ~104 MB
 
 
 def _roll(v, s, interpret):
@@ -105,7 +105,9 @@ def _kernel(x_ref, xh_ref, col_ref, scale_ref, w1_ref, dwk_ref, w2_ref,
         inv = jax.lax.rsqrt(var + eps)                       # (1, E)
         y0 = (x * inv * scale_ref[k]).astype(xb.dtype)       # (C, E)
 
-        # 1×1 expand on the MXU: (2H, C) × (C, E)
+        # 1×1 expand on the MXU: (2H, C) × (C, E). Stays f32: the W-shifts
+        # below are pltpu.roll, which is 32-bit-only (PERF.md Mosaic
+        # constraints) — bf16 here fails to lower.
         y1 = jax.lax.dot_general(w1_ref[k], y0, (((1,), (0,)), ((), ())),
                                  preferred_element_type=fdtype)
 
@@ -141,13 +143,21 @@ def _kernel(x_ref, xh_ref, col_ref, scale_ref, w1_ref, dwk_ref, w2_ref,
 
 def _pick_tile(h, w, c, hidden2, n_blocks):
     """Row-band height: the halo recompute waste (tile+2K)/tile dominates
-    runtime, so prefer the TALLEST band that divides H (measured at
-    512²×48 K=4: th=8 → 4.09 ms, th=16 → 3.15, th=32 → 2.61 vs 3.21 for
-    per-block NHWC). The price is Mosaic compile time (≈2 min per distinct
-    shape at th=32, persistent-cached); VMEM stays comfortable: the K=4
-    th=32 band peaks at ≈ 2H·(th+2K)·W·4 B ≈ 31 MB of the 100 MB budget."""
-    for th in (32, 16, 8):
-        if h % th == 0:
+    runtime, so prefer the TALLEST band that divides H and fits VMEM
+    (measured at 512²×48 K=4: th=8 → 4.09 ms, th=16 → 3.15, th=32 → 2.61,
+    th=64 → 2.45 vs 3.21 for per-block NHWC). The price is Mosaic compile
+    time (≈2 min per distinct shape, persistent-cached). The VMEM estimate
+    is calibrated against the compiler's scoped-allocation report at
+    th=64/W=512/C=48: three f32 (hidden2, E) arrays (y1, its shifted copy,
+    acc) + the f32 (C, E) iterate + double-buffered bf16 in/out blocks."""
+    for th in (64, 32, 16, 8):
+        if h % th != 0:
+            continue
+        lanes = (th + 2 * n_blocks) * w
+        # estimate ≤ the 112 MB kernel limit minus headroom; the estimate
+        # runs ~3% above the compiler's scoped report (106.2 MB estimated
+        # vs 103.5 MB reported at th=64/W=512/C=48 — which must qualify)
+        if lanes * (3 * hidden2 * 4 + 12 * c) <= 108 * 1024 * 1024:
             return th
     return None
 

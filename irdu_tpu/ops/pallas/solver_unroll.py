@@ -230,10 +230,12 @@ def unroll_scal(n_graphs, mu0, ro0, mu1, ro1, gamma0, gamma1, alphas, betas):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "n_graphs", "eval_cg_iters", "deltas", "stats_mode", "interpret"))
+    "n_graphs", "eval_cg_iters", "deltas", "stats_mode", "true_w",
+    "interpret"))
 def gg_unroll_chw(y, w_gtv0, w_glr0, w_gtv1, w_glr1, pgtv0, pglr0,
                   pgtv1, pglr1, scal, *, n_graphs, eval_cg_iters=3,
-                  deltas=CROSS4, stats_mode="edge", interpret=False):
+                  deltas=CROSS4, stats_mode="edge", true_w=None,
+                  interpret=False):
     """The whole two-scale GGTV+GGLR unroll as ONE pallas_call.
 
     y: (B, C, H, W) solver input (C = G·F). w_*0: (B, G, E, H, W)
@@ -242,9 +244,15 @@ def gg_unroll_chw(y, w_gtv0, w_glr0, w_gtv1, w_glr1, pgtv0, pglr0,
     irrelevant — see module docstring). p*: (G, 4, F) stats tables or
     None (no_orders). scal: (G, 10) from ``unroll_scal``.
 
-    Shape requirements: H % 16 == 0 (half-res DMA sublanes), W % 128 == 0,
-    one (H, W) f32 plane + the per-graph weights must fit VMEM
-    (H·W ≤ 512² is safe on v5e — the caller falls back to the band
+    true_w: the image width when the FULL-res operands are themselves
+    lane-padded (flagship scale3: W=64 → operands padded to 128; every W
+    shift masks against true_w, the in-kernel box down/up confines pad
+    columns to pad columns by construction, and the output is cropped
+    back). None means W is the true width.
+
+    Shape requirements: H % 16 == 0 (half-res DMA sublanes), the padded
+    W % 128 == 0, one (H, W) f32 plane + the per-graph weights must fit
+    VMEM (H·W ≤ 512² is safe on v5e — the caller falls back to the band
     kernels above that).
     """
     b, c, h, w = y.shape
@@ -252,6 +260,7 @@ def gg_unroll_chw(y, w_gtv0, w_glr0, w_gtv1, w_glr1, pgtv0, pglr0,
     f = c // g
     n_e = len(deltas)
     w1p = w_gtv1.shape[-1]
+    tw = true_w or w
     yv = y.reshape(b, g, f, h, w)
 
     no_stats = pgtv0 is None
@@ -259,7 +268,7 @@ def gg_unroll_chw(y, w_gtv0, w_glr0, w_gtv1, w_glr1, pgtv0, pglr0,
     ps = [dummy_p if p is None else p for p in (pgtv0, pglr0, pgtv1, pglr1)]
 
     kernel = functools.partial(
-        _unroll_kernel, n_e=n_e, true_w0=w, true_w1=w // 2, deltas=deltas,
+        _unroll_kernel, n_e=n_e, true_w0=tw, true_w1=tw // 2, deltas=deltas,
         stats_mode=stats_mode, eval_cg_iters=eval_cg_iters,
         no_stats=no_stats, interpret=interpret)
 
@@ -290,7 +299,9 @@ def gg_unroll_chw(y, w_gtv0, w_glr0, w_gtv1, w_glr1, pgtv0, pglr0,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM),
         interpret=interpret,
     )(yv, w_gtv0, w_glr0, w_gtv1, w_glr1, *ps, scal)
-    return out.reshape(b, c, h, w)
+    if tw != w:
+        out = out[..., :tw]
+    return out.reshape(b, c, h, tw)
 
 
 # ---------------------------------------------------------------------------

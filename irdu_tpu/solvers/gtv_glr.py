@@ -174,9 +174,10 @@ class MixtureGTVGLR(nn.Module):
         """The CHW kernels need cross-4 edges, H and H/2 multiples of 8,
         and full 128-lane widths. Two kernel flavours cover the shapes:
         the whole-unroll kernel (see _mega_ok: one pallas_call for the
-        entire solve, full plane in VMEM) and the per-step band kernels
-        (W and W/2 both 128-multiples). Shapes satisfying neither — e.g.
-        flagship scale3 (W=64) — fall through to the jnp path."""
+        entire solve, full plane in VMEM — sub-128 widths ride lane-
+        padded, so flagship scale3 at W=64 qualifies) and the per-step
+        band kernels (W and W/2 both 128-multiples). Shapes satisfying
+        neither fall through to the jnp path."""
         _, h, w, _ = shape
         return (self.window == "cross4"
                 and h % 16 == 0 and (h // 2) % 8 == 0
@@ -186,10 +187,13 @@ class MixtureGTVGLR(nn.Module):
     def _mega_ok(shape) -> bool:
         """Whole-unroll kernel qualifier (ops/pallas/solver_unroll.py):
         one (H, W) f32 plane plus per-graph weights must fit VMEM
-        (H·W ≤ 512² measured safe on v5e's 128 MB), W a 128-multiple
-        (half-res operands below 128 lanes get padded)."""
+        (H·W ≤ 512² measured safe on v5e's 128 MB). Widths that are not
+        128-multiples are lane-padded (full- and half-res operands),
+        masked in-kernel against the true width, and cropped on the way
+        out; W must be even (the in-solver 2× scale)."""
         _, h, w, _ = shape
-        return h % 16 == 0 and w % 128 == 0 and h * w <= _MEGA_MAX_PIXELS
+        wp = -(-w // 128) * 128
+        return h % 16 == 0 and w % 2 == 0 and h * wp <= _MEGA_MAX_PIXELS
 
     def _forward_chw(self, patchs: jnp.ndarray,
                      chw_in: bool = False) -> jnp.ndarray:
@@ -234,11 +238,14 @@ class MixtureGTVGLR(nn.Module):
             # feature heads stay NHWC (1×1 convs on the MXU), then transpose
             f00 = chw(self.feat00(patchs))
             f01 = chw(self.feat01_point(self.feat01_down(patchs)))
-        # Half-res lane padding (whole-unroll path only): when W/2 is not a
-        # 128-multiple (flagship scale2: 64), pad the half-res FEATURES —
-        # the weight kernel then emits lane-padded weight planes whose pad
-        # columns never leak (solver_unroll.py docstring).
+        # Lane padding (whole-unroll path only): when W or W/2 is not a
+        # 128-multiple (flagship scale2: W/2=64; scale3: W=64), pad the
+        # FEATURES — the weight kernel then emits lane-padded weight planes
+        # whose pad columns never leak (solver_unroll.py docstring).
+        pad0 = (-w) % 128 if mega else 0
         pad1 = (-w2) % 128 if mega else 0
+        if pad0:
+            f00 = jnp.pad(f00, ((0, 0), (0, 0), (0, 0), (0, pad0)))
         if pad1:
             f01 = jnp.pad(f01, ((0, 0), (0, 0), (0, 0), (0, pad1)))
         # GTV and GLR features share the head output (B, 2C, H, W) with
@@ -274,12 +281,15 @@ class MixtureGTVGLR(nn.Module):
             )
 
             y = patchs if chw_in else chw(patchs)
+            if pad0:
+                y = jnp.pad(y, ((0, 0), (0, 0), (0, 0), (0, pad0)))
             out = gg_unroll_chw(
                 y, w_gtv00, w_glr00, w_gtv01, w_glr01,
                 pgtv00, pglr00, pgtv01, pglr01,
                 unroll_scal(g, mu00, ro00, mu01, ro01, gamma00, gamma01,
                             self.alpha_cgd, self.beta_cgd),
                 n_graphs=g, eval_cg_iters=self.eval_cg_iters,
+                true_w=w if pad0 else None,
                 interpret=interp)
             return out if chw_in else jnp.transpose(out, (0, 2, 3, 1))
 

@@ -122,8 +122,22 @@ def main():
             "max_steps": max_steps,
         },
     }
-    out = Trainer(config).run()
-    print("DONE", out)
+    trainer = Trainer(config)
+    out = trainer.run()
+
+    # portable trained-weights artifact (utils/weights.py): bf16 npz small
+    # enough to commit, so the trained model survives environment resets
+    import jax
+    import jax.numpy as jnp
+
+    from irdu_tpu.utils.weights import save_params_npz
+
+    export = os.path.join("artifacts", "weights",
+                          f"{args.model}_synthetic_{out['step']}.npz")
+    os.makedirs(os.path.dirname(export), exist_ok=True)
+    save_params_npz(export, jax.device_get(trainer.state.params),
+                    dtype=jnp.bfloat16)
+    print("DONE", out, "weights ->", export)
 
 
 if __name__ == "__main__":

@@ -51,6 +51,30 @@ def test_unroll_padded_halfres_matches():
     _check(32, 128, seed=3)
 
 
+def test_unroll_padded_fullres_matches():
+    """W = 64 < the 128-lane DMA minimum: the FULL-res plane itself rides
+    lane-padded (flagship scale3 shape class) — every W shift masks at
+    true_w, the in-kernel box down/up confines pad→pad, and the output is
+    cropped back."""
+    _check(32, 64, seed=4)
+
+
+def test_unroll_padded_fullres_nonmultiple():
+    """W = 96: padded to 128 with a non-power-of-two true width (the /16
+    eval-protocol shape class)."""
+    _check(16, 96, seed=6)
+
+
+def test_unroll_padded_fullres_chw_in():
+    x, ref_m, params, _ = _model_pair(32, 64, seed=8)
+    ref = ref_m.apply(params, x)
+    fast_m = MixtureGTVGLR(n_graphs=G, n_node_fts=F, use_pallas_unroll=True)
+    out = fast_m.apply(params, jnp.transpose(x, (0, 3, 1, 2)), chw=True)
+    np.testing.assert_allclose(np.asarray(ref),
+                               np.asarray(jnp.transpose(out, (0, 2, 3, 1))),
+                               atol=5e-4, rtol=1e-3)
+
+
 @pytest.mark.parametrize("k", [1, 2])
 def test_unroll_truncated_cg(k):
     _check(16, 256, seed=5, eval_cg_iters=k)
