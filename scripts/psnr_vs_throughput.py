@@ -52,6 +52,11 @@ def main():
                     choices=["flagship", "lite", "micro"])
     ap.add_argument("--val-root", default="experiments/convergence_tpu",
                     help="where val.csv/val_images live (shared corpus)")
+    ap.add_argument("--weights", default=None,
+                    help="npz weight snapshot (utils/weights.py) to eval "
+                         "instead of the orbax checkpoint — the committed "
+                         "artifacts/weights/*.npz survive environment "
+                         "resets; orbax experiment dirs do not")
     args = ap.parse_args()
 
     from irdu_tpu.eval.harness import evaluate_pairs, load_benchmark_images
@@ -67,16 +72,29 @@ def main():
 
     cfg = {"flagship": flagship_config, "lite": flagship_lite_config,
            "micro": flagship_micro_config}[args.model]()
-    base = AbstractMultiScaleGraphFilter(remat=True, **cfg)
-    state = create_train_state(
-        base, jax.random.PRNGKey(0), np.zeros((1, 64, 64, 3), np.float32),
-        flagship_lr_schedule())
-    cm = CheckpointManager(os.path.join(args.root, "checkpoints"))
-    state, _ = cm.restore(state)
-    print(f"loaded checkpoint at step {int(state.step)}", flush=True)
-    params = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16),
-                                    state.params)
+    if args.weights:
+        from irdu_tpu.utils.weights import load_params_npz
 
+        params = load_params_npz(args.weights, dtype=jnp.bfloat16)
+        print(f"loaded weights from {args.weights}", flush=True)
+    else:
+        base = AbstractMultiScaleGraphFilter(remat=True, **cfg)
+        state = create_train_state(
+            base, jax.random.PRNGKey(0),
+            np.zeros((1, 64, 64, 3), np.float32), flagship_lr_schedule())
+        cm = CheckpointManager(os.path.join(args.root, "checkpoints"))
+        state, _ = cm.restore(state)
+        print(f"loaded checkpoint at step {int(state.step)}", flush=True)
+        params = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16),
+                                        state.params)
+
+    if not os.path.exists(os.path.join(args.val_root, "val.csv")):
+        # the synthetic corpus is deterministic (RandomState(42)) — rebuild
+        # it so committed npz weights can be evaluated without re-training
+        from run_convergence_tpu import build_corpus
+
+        os.makedirs(args.val_root, exist_ok=True)
+        build_corpus(args.val_root)
     images = load_benchmark_images(os.path.join(args.val_root, "val.csv"),
                                    os.path.join(args.val_root, "val_images"))
     xb = jnp.asarray(np.random.RandomState(0).rand(1, 512, 512, 3),
