@@ -55,9 +55,9 @@ def _roll(v, s, interpret):
     return pltpu.roll(v, s % v.shape[-1], axis=v.ndim - 1)
 
 
-def _kernel(x_ref, xh_ref, col_ref, scale_ref, w1_ref, dwk_ref, w2_ref,
-            skip_ref, out_ref, *, n_blocks, tile_h, w, c, hidden2, eps, ddof,
-            interpret):
+def _kernel(x_ref, xh_ref, col_ref, scale_ref, w1_ref, dwk_ref, m9_ref,
+            w2_ref, skip_ref, out_ref, *, n_blocks, tile_h, w, c, hidden2,
+            eps, ddof, dw_mxu, interpret):
     """One row band through all K blocks. Arrays are (channels, lanes) with
     lanes = rows·W; row r, column j of the band sits at lane r·W + j."""
     i = pl.program_id(1)
@@ -103,29 +103,60 @@ def _kernel(x_ref, xh_ref, col_ref, scale_ref, w1_ref, dwk_ref, w2_ref,
         mean = s1 / c
         var = (s2 - c * mean * mean) / (c - ddof)
         inv = jax.lax.rsqrt(var + eps)                       # (1, E)
-        y0 = (x * inv * scale_ref[k]).astype(xb.dtype)       # (C, E)
+        y0f = x * inv * scale_ref[k]                         # (C, E) f32
+        y0 = y0f.astype(xb.dtype)
 
-        # 1×1 expand on the MXU: (2H, C) × (C, E). Stays f32: the W-shifts
-        # below are pltpu.roll, which is 32-bit-only (PERF.md Mosaic
-        # constraints) — bf16 here fails to lower.
-        y1 = jax.lax.dot_general(w1_ref[k], y0, (((1,), (0,)), ((), ())),
-                                 preferred_element_type=fdtype)
-
-        # depthwise 3×3, replicate pad. W-shifts: one lane roll + edge-
-        # column fix; H-shifts: 128-aligned lane slices (consume the halo).
-        acc = jnp.zeros((hidden2, e_out), fdtype)
-        for b in range(3):
-            if b == 0:
-                y1b = jnp.where(col[:, :e_in] == 0, y1,
-                                _roll(y1, 1, interpret))
-            elif b == 2:
-                y1b = jnp.where(col[:, :e_in] == w - 1, y1,
-                                _roll(y1, -1, interpret))
-            else:
-                y1b = y1
+        if dw_mxu:
+            # Fused expand ⊗ depthwise on the MXU: since the depthwise tap
+            # scale is per-output-channel, z_c(p) = Σ_t k_c(t)·(W1ᵀy0)(p+t)_c
+            # = Σ_t (diag(k(t))·W1ᵀ) y0(p+t) — nine (2H, C) × (C, E) dots
+            # against shifted y0 slices, with the tap matrices
+            # m9[t] = w1ᵀ ⊙ dwk[t] precomputed at pack time. Moves the
+            # 9·2H·E FMAs (the VPU-bound bulk of the block — PERF.md) onto
+            # the MXU; pays 9× the expand FLOPs, a win only while
+            # 9·2·C·2H·E / MXU_rate < 9·2H·E / VPU_rate, i.e. C ≲ 64.
+            # W-shifts happen on the f32 y0 (pltpu.roll is 32-bit-only),
+            # then each column variant casts to bf16 once.
+            y0v = []
+            for b in range(3):
+                if b == 0:
+                    yb = jnp.where(col[:, :e_in] == 0, y0f,
+                                   _roll(y0f, 1, interpret))
+                elif b == 2:
+                    yb = jnp.where(col[:, :e_in] == w - 1, y0f,
+                                   _roll(y0f, -1, interpret))
+                else:
+                    yb = y0f
+                y0v.append(yb.astype(xb.dtype))
+            acc = jnp.zeros((hidden2, e_out), fdtype)
             for a in range(3):
-                tap = y1b[:, a * w: a * w + e_out]
-                acc = acc + tap * dwk_ref[k, a * 3 + b]
+                for b in range(3):
+                    tap = y0v[b][:, a * w: a * w + e_out]
+                    acc = acc + jax.lax.dot_general(
+                        m9_ref[k, a * 3 + b], tap, (((1,), (0,)), ((), ())),
+                        preferred_element_type=fdtype)
+        else:
+            # 1×1 expand on the MXU: (2H, C) × (C, E). Stays f32: the
+            # W-shifts below are pltpu.roll, which is 32-bit-only (PERF.md
+            # Mosaic constraints) — bf16 here fails to lower.
+            y1 = jax.lax.dot_general(w1_ref[k], y0, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=fdtype)
+
+            # depthwise 3×3, replicate pad. W-shifts: one lane roll + edge-
+            # column fix; H-shifts: 128-aligned lane slices (consume halo).
+            acc = jnp.zeros((hidden2, e_out), fdtype)
+            for b in range(3):
+                if b == 0:
+                    y1b = jnp.where(col[:, :e_in] == 0, y1,
+                                    _roll(y1, 1, interpret))
+                elif b == 2:
+                    y1b = jnp.where(col[:, :e_in] == w - 1, y1,
+                                    _roll(y1, -1, interpret))
+                else:
+                    y1b = y1
+                for a in range(3):
+                    tap = y1b[:, a * w: a * w + e_out]
+                    acc = acc + tap * dwk_ref[k, a * 3 + b]
 
         # gate σ(m)·m·u (reference v1x0.py:941-944)
         m_half = acc[: hidden2 // 2]
@@ -178,9 +209,11 @@ def stack_ok(shape, n_blocks) -> bool:
             and _pick_tile(h, w, c, 4 * c, n_blocks) is not None)
 
 
-@functools.partial(jax.jit, static_argnames=("ddof", "interpret", "tile_h"))
+@functools.partial(jax.jit,
+                   static_argnames=("ddof", "interpret", "tile_h", "dw_mxu"))
 def fused_block_stack(x, scales, w1t, dwk, w2t, skips, *, ddof: int = 1,
-                      tile_h: int | None = None, interpret: bool = False):
+                      tile_h: int | None = None, dw_mxu: bool = False,
+                      interpret: bool = False):
     """Run K LocalNonLinearBlocks over x: (B, C, H, W).
 
     scales: (K, C, 1) f32 — norm per-channel scale;
@@ -188,6 +221,12 @@ def fused_block_stack(x, scales, w1t, dwk, w2t, skips, *, ddof: int = 1,
     dwk:    (K, 9, 2H, 1) f32 — depthwise taps, t = a·3 + b;
     w2t:    (K, C, H)    — project weights, transposed;
     skips:  (K, 2) f32   — the learnable 2-way skip.
+
+    dw_mxu: fold the expand into the depthwise taps and run both as nine
+    MXU dots per block. Measured SLOWER on-chip even at the flagship's
+    smallest C=48 scale (0.81 vs 0.61 ms/blk at th=64 — PERF.md): the 9×
+    expand-FLOP tax exceeds the VPU tap-FMA cost it removes. Kept as a
+    parity-tested negative result; default False (VPU tap path).
     """
     bsz, c, h, w = x.shape
     k_blocks, hidden2 = w1t.shape[0], w1t.shape[1]
@@ -201,10 +240,14 @@ def fused_block_stack(x, scales, w1t, dwk, w2t, skips, *, ddof: int = 1,
     xh = jnp.transpose(xh.reshape(bsz, c, nb, 2 * k_blocks * w), (0, 2, 1, 3))
 
     colv = jnp.asarray((np.arange(e_max) % w).reshape(1, -1), jnp.int32)
+    # tap matrices m9[k, t] = w1ᵀ[k] ⊙ dwk[k, t]: the expand matmul folded
+    # into each depthwise tap (see _kernel). Tiny (K·9·2H·C); built at
+    # trace time from the packed operands.
+    m9 = (w1t[:, None].astype(jnp.float32) * dwk).astype(x.dtype)
 
     kernel = functools.partial(
         _kernel, n_blocks=k_blocks, tile_h=th, w=w, c=c, hidden2=hidden2,
-        eps=1e-5, ddof=ddof, interpret=interpret)
+        eps=1e-5, ddof=ddof, dw_mxu=dw_mxu, interpret=interpret)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((bsz, c, h * w), x.dtype),
@@ -219,6 +262,7 @@ def fused_block_stack(x, scales, w1t, dwk, w2t, skips, *, ddof: int = 1,
             pl.BlockSpec(memory_space=pltpu.VMEM),   # scales
             pl.BlockSpec(memory_space=pltpu.VMEM),   # w1t
             pl.BlockSpec(memory_space=pltpu.VMEM),   # dwk
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # m9
             pl.BlockSpec(memory_space=pltpu.VMEM),   # w2t
             pl.BlockSpec(memory_space=pltpu.SMEM),   # skips
         ],
@@ -226,7 +270,7 @@ def fused_block_stack(x, scales, w1t, dwk, w2t, skips, *, ddof: int = 1,
                                memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM),
         interpret=interpret,
-    )(x2, xh, colv, scales, w1t, dwk, w2t, skips)
+    )(x2, xh, colv, scales, w1t, dwk, m9, w2t, skips)
     return out.reshape(bsz, c, h, w)
 
 

@@ -53,11 +53,12 @@ def main():
     packed = pack_block_params(params, jnp.bfloat16)
     x = jnp.asarray(rng.rand(1, c, 512, 512), jnp.bfloat16)
 
-    for th in (32, 64):
-        t = marginal(lambda z, th=th: fused_block_stack(
-            z, *packed, tile_h=th), x)
-        print(f"scale0 stack K={k} th={th}: {t*1e3:6.2f} ms "
-              f"({t/k*1e3:.3f} ms/blk)", flush=True)
+    for dw_mxu in (False, True):
+        for th in (32, 64):
+            t = marginal(lambda z, th=th, m=dw_mxu: fused_block_stack(
+                z, *packed, tile_h=th, dw_mxu=m), x)
+            print(f"scale0 stack K={k} th={th} dw_mxu={dw_mxu}: {t*1e3:6.2f} ms "
+                  f"({t/k*1e3:.3f} ms/blk)", flush=True)
 
 
 if __name__ == "__main__":

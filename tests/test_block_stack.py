@@ -47,6 +47,20 @@ def test_block_stack_matches_reference(c, h2, h, w, k):
     assert rel < 2e-5, rel
 
 
+def test_block_stack_dw_mxu_path_matches_reference():
+    """dw_mxu=True folds the expand into nine MXU tap dots (measured
+    slower on-chip — kept as a covered alternative, see PERF.md)."""
+    rng = np.random.RandomState(3)
+    c, h2, h, w, k = 48, 192, 32, 128, 4
+    x = jnp.asarray(rng.randn(1, c, h, w) * 0.5, jnp.float32)
+    params = _mk_params(rng, c, h2, k)
+    got = fused_block_stack(x, *pack_block_params(params, jnp.float32),
+                            dw_mxu=True, interpret=True)
+    want = block_stack_reference(x, params)
+    rel = float(jnp.max(jnp.abs(got - want))) / float(jnp.max(jnp.abs(want)))
+    assert rel < 2e-5, rel
+
+
 def test_stack_ok_rejects_narrow_widths():
     assert not stack_ok((1, 48, 64, 64), 2)     # W % 128 != 0
     assert stack_ok((1, 48, 64, 128), 2)
