@@ -44,8 +44,14 @@ class MultiScaleSequenceDenoiser(nn.Module):
     muy_init: Sequence[float] = (0.1, 0.0, 0.0, 0.0)
     ro_init: Sequence[float] = (0.1, 0.0, 0.0, 0.0)
     gamma_init: Sequence[float] = (0.001, 0.0, 0.0, 0.0)
+    # feature U-Net depth (v6 reference values; tiny test configs shrink
+    # these to keep CPU compile time sane)
+    feature_num_blocks: Sequence[int] = (2, 3, 3, 4)
+    feature_num_refinement: int = 4
     # inference-only fused CHW kernel path (see MixtureGTV.use_pallas_unroll)
     use_pallas_solver: bool = False
+    # training-memory knob (see MixtureGTV.remat)
+    remat: bool = False
 
     @nn.compact
     def __call__(self, patchs: jnp.ndarray) -> jnp.ndarray:
@@ -65,7 +71,10 @@ class MultiScaleSequenceDenoiser(nn.Module):
             muy_init=self.muy_init,
             ro_init=self.ro_init,
             gamma_init=self.gamma_init,
+            feature_num_blocks=self.feature_num_blocks,
+            feature_num_refinement=self.feature_num_refinement,
             use_pallas_unroll=self.use_pallas_solver,
+            remat=self.remat,
             name="mixtureGLR_block03",
         )(patchs)
         return sw[0] * patchs + sw[1] * y

@@ -132,35 +132,41 @@ class FeatureExtraction(nn.Module):
     num_refinement_blocks: int = 4
     ffn_expansion_factor: float = 2.66
     use_bias: bool = False
+    # training-memory knob: rematerialize each FFBlock in the backward
+    # pass (same pattern as the flagship's per-LocalNonLinearBlock remat)
+    # — the v6-scale pixel family exceeds 16 GB HBM at 256²+ patches
+    # without it.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x):
         d = self.dim
         ff = self.ffn_expansion_factor
+        Block = nn.remat(FFBlock) if self.remat else FFBlock
         x = OverlapPatchEmbed(d, name="patch_embed")(x)
         for i in range(self.num_blocks[0]):
-            x = FFBlock(d, ff, name=f"encoder_level1_{i}")(x)
+            x = Block(d, ff, name=f"encoder_level1_{i}")(x)
         enc1 = x
         x = Downsample(d, name="down1_2")(x)
         for i in range(self.num_blocks[1]):
-            x = FFBlock(d * 2, ff, name=f"encoder_level2_{i}")(x)
+            x = Block(d * 2, ff, name=f"encoder_level2_{i}")(x)
         enc2 = x
         x = Downsample(d * 2, name="down2_3")(x)
         for i in range(self.num_blocks[2]):
-            x = FFBlock(d * 4, ff, name=f"encoder_level3_{i}")(x)
+            x = Block(d * 4, ff, name=f"encoder_level3_{i}")(x)
 
         x = Upsample(d * 4, name="up3_2")(x)
         x = jnp.concatenate([x, enc2], axis=-1)
         x = GroupedPointwise(features=d * 2, name="reduce_chan_level2")(x)
         for i in range(self.num_blocks[1]):
-            x = FFBlock(d * 2, ff, name=f"decoder_level2_{i}")(x)
+            x = Block(d * 2, ff, name=f"decoder_level2_{i}")(x)
 
         x = Upsample(d * 2, name="up2_1")(x)
         x = jnp.concatenate([x, enc1], axis=-1)
         for i in range(self.num_blocks[0]):
-            x = FFBlock(d * 2, ff, name=f"decoder_level1_{i}")(x)
+            x = Block(d * 2, ff, name=f"decoder_level1_{i}")(x)
         for i in range(self.num_refinement_blocks):
-            x = FFBlock(d * 2, ff, name=f"refinement_{i}")(x)
+            x = Block(d * 2, ff, name=f"refinement_{i}")(x)
         return Conv3x3Zero(features=self.out_channels, name="output")(x)
 
 

@@ -66,6 +66,11 @@ class MixtureGTV(nn.Module):
     # diamond window + reflect stats padding). Shapes that don't qualify
     # fall back to the jnp path; the jnp path stays authoritative.
     use_pallas_unroll: bool = False
+    # training-memory knob: rematerialize the feature U-Net per FFBlock
+    # and the solver unroll per segment (init-RHS / CG round / rethresh)
+    # — without it the v6-scale backward exceeds 16 GB HBM at 256²+
+    # patches. Numerically identical (jax.checkpoint recompute).
+    remat: bool = False
 
     def setup(self):
         if self.n_cgd_iters != 4:
@@ -85,6 +90,7 @@ class MixtureGTV(nn.Module):
             num_blocks=self.feature_num_blocks,
             num_refinement_blocks=self.feature_num_refinement,
             ffn_expansion_factor=self.ffn_expansion_factor,
+            remat=self.remat,
             name="patchs_features_extraction",
         )
         self.combination_weight = GroupedPointwise(
@@ -243,13 +249,30 @@ class MixtureGTV(nn.Module):
 
         b, h, w, c = patchs.shape
         d, g = self.deltas, self.n_graphs
+        # segment-level rematerialization: each ckpt'd segment saves only
+        # its (plane-sized) inputs for the backward pass and recomputes
+        # the 12-edge neighbor/stats intermediates. The closed-over
+        # params (stats stencils, α/β/μ/ρ) are tiny residuals.
+        ckpt = jax.checkpoint if self.remat else (lambda f: f)
 
         feats = self.features(patchs)
         ew_feats = feats[..., : self.n_total_fts]
         dc_feats = feats[..., self.n_total_fts:]
 
-        w_gtv, _ = extract_edge_weights(ew_feats, self.gtv00.multi_m, d, g)
-        w_glr, _ = extract_edge_weights(ew_feats, self.glr00.multi_m, d, g)
+        # Materialize the graph-op submodule params OUTSIDE the
+        # checkpointed closures: flax runs a submodule's setup lazily on
+        # first attribute access, and creating params inside a
+        # jax.checkpoint trace leaks the traced values out of the remat
+        # scope (UnexpectedTracerError at model.init with remat=True).
+        _ = (self.gtv00.multi_m, self.glr00.multi_m)
+
+        @ckpt
+        def edge_weights(ew_feats):
+            w_gtv, _ = extract_edge_weights(ew_feats, self.gtv00.multi_m, d, g)
+            w_glr, _ = extract_edge_weights(ew_feats, self.glr00.multi_m, d, g)
+            return w_gtv, w_glr
+
+        w_gtv, w_glr = edge_weights(ew_feats)
 
         dc_term = self.dc_estimator(dc_feats)
         y_tilde = patchs - dc_term
@@ -258,34 +281,47 @@ class MixtureGTV(nn.Module):
 
         gamma_c = jnp.repeat(jnp.exp(self.gamma00), self.n_node_fts)
 
-        # round 1: ε = C·ỹ, bias = 0
-        eps = op_c(y_tiled, w_gtv, d, g, self.gtv00.stats, "reflect")
-        bias = tuple(jnp.zeros_like(e) for e in eps)
-        rhs = self._rhs(y_tiled, eps, w_gtv)
+        @ckpt
+        def init_rhs(y_tiled, w_gtv):
+            # round 1: ε = C·ỹ, bias = 0
+            eps = op_c(y_tiled, w_gtv, d, g, self.gtv00.stats, "reflect")
+            return self._rhs(y_tiled, eps, w_gtv)
 
-        out = rhs
-        res = rhs - self._system_matvec(out, w_gtv, w_glr)
-        update = res
-        out = out + self._pg(self.alpha_cgd, 0) * update
-        res = rhs - self._system_matvec(out, w_gtv, w_glr)
-        update = res + self._pg(self.beta_cgd, 1) * update
-        out = out + self._pg(self.alpha_cgd, 1) * update
+        @ckpt
+        def cg_round(rhs, w_gtv, w_glr, a0, b1, a1):
+            out = rhs
+            res = rhs - self._system_matvec(out, w_gtv, w_glr)
+            update = res
+            out = out + a0 * update
+            res = rhs - self._system_matvec(out, w_gtv, w_glr)
+            update = res + b1 * update
+            return out + a1 * update
 
-        # ADMM re-threshold with accumulating bias (v6:983-989)
-        cx = op_c(out, w_gtv, d, g, self.gtv00.stats, "reflect")
-        eps = tuple(soft_threshold(cx_e + b_e, gamma_c) for cx_e, b_e in zip(cx, bias))
-        bias = tuple(b_e + (cx_e - e_e) for b_e, cx_e, e_e in zip(bias, cx, eps))
-        rhs = self._rhs(
-            y_tiled, tuple(e_e - b_e for e_e, b_e in zip(eps, bias)), w_gtv)
+        @ckpt
+        def rethresh_rhs(out, y_tiled, w_gtv):
+            # ADMM re-threshold with accumulating bias (v6:983-989); the
+            # bias entering this fixed 2-round unroll is 0, so
+            # bias' = C·x − ε and the new RHS uses ε − bias' = 2ε − C·x.
+            cx = op_c(out, w_gtv, d, g, self.gtv00.stats, "reflect")
+            eps = tuple(soft_threshold(cx_e, gamma_c) for cx_e in cx)
+            bias = tuple(cx_e - e_e for cx_e, e_e in zip(cx, eps))
+            return self._rhs(
+                y_tiled, tuple(e_e - b_e for e_e, b_e in zip(eps, bias)),
+                w_gtv)
+
+        rhs = init_rhs(y_tiled, w_gtv)
+        out = cg_round(rhs, w_gtv, w_glr,
+                       self._pg(self.alpha_cgd, 0),
+                       self._pg(self.beta_cgd, 1),
+                       self._pg(self.alpha_cgd, 1))
+
+        rhs = rethresh_rhs(out, y_tiled, w_gtv)
 
         # round 2: CG restart from the new RHS (v6:995)
-        out = rhs
-        res = rhs - self._system_matvec(out, w_gtv, w_glr)
-        update = res
-        out = out + self._pg(self.alpha_cgd, 2) * update
-        res = rhs - self._system_matvec(out, w_gtv, w_glr)
-        update = res + self._pg(self.beta_cgd, 3) * update
-        out = out + self._pg(self.alpha_cgd, 3) * update
+        out = cg_round(rhs, w_gtv, w_glr,
+                       self._pg(self.alpha_cgd, 2),
+                       self._pg(self.beta_cgd, 3),
+                       self._pg(self.alpha_cgd, 3))
 
         # mixture combination: softmax score over graphs (v6:850-858, 1011)
         logits = self.combination_weight(ew_feats)  # (B,H,W,G)

@@ -49,7 +49,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", default="experiments/convergence_tpu")
     ap.add_argument("--model", default="flagship",
-                    choices=["flagship", "lite", "micro"])
+                    choices=["flagship", "lite", "micro", "pixel"])
     ap.add_argument("--val-root", default="experiments/convergence_tpu",
                     help="where val.csv/val_images live (shared corpus)")
     ap.add_argument("--weights", default=None,
@@ -70,15 +70,35 @@ def main():
     from irdu_tpu.train.schedules import flagship_lr_schedule
     from irdu_tpu.train.steps import create_train_state
 
-    cfg = {"flagship": flagship_config, "lite": flagship_lite_config,
-           "micro": flagship_micro_config}[args.model]()
+    cfg = (None if args.model == "pixel" else
+           {"flagship": flagship_config, "lite": flagship_lite_config,
+            "micro": flagship_micro_config}[args.model]())
+    def build(**variant_kw):
+        if args.model == "pixel":
+            # v6 reference scale; the fused solver measures slower for this
+            # family at this scale (PERF.md), so the jnp default is the
+            # deployment path. Fixed 4-iteration unroll — no cg knob.
+            from irdu_tpu.models.pixel import MultiScaleSequenceDenoiser
+
+            return MultiScaleSequenceDenoiser(
+                n_graphs=24, n_node_fts=3, n_cnn_fts=72, window="diamond12")
+        return AbstractMultiScaleGraphFilter(
+            use_pallas_blocks=True, use_pallas_solver=True, **variant_kw,
+            **cfg)
+
     if args.weights:
         from irdu_tpu.utils.weights import load_params_npz
 
         params = load_params_npz(args.weights, dtype=jnp.bfloat16)
         print(f"loaded weights from {args.weights}", flush=True)
     else:
-        base = AbstractMultiScaleGraphFilter(remat=True, **cfg)
+        if args.model == "pixel":
+            from irdu_tpu.models.pixel import MultiScaleSequenceDenoiser
+
+            base = MultiScaleSequenceDenoiser(
+                n_graphs=24, n_node_fts=3, n_cnn_fts=72, window="diamond12")
+        else:
+            base = AbstractMultiScaleGraphFilter(remat=True, **cfg)
         state = create_train_state(
             base, jax.random.PRNGKey(0),
             np.zeros((1, 64, 64, 3), np.float32), flagship_lr_schedule())
@@ -101,17 +121,17 @@ def main():
                      jnp.bfloat16)
 
     rows = []
-    for k in (3, 2, 1):
-        model = AbstractMultiScaleGraphFilter(
-            use_pallas_blocks=True, use_pallas_solver=True,
-            eval_cg_iters=k, **cfg)
+    variants = ((None,) if args.model == "pixel" else (3, 2, 1))
+    for k in variants:
+        model = build() if k is None else build(eval_cg_iters=k)
         fwd = jax.jit(lambda x, m=model: m.apply(params, x))
         out = evaluate_pairs(
             lambda x: np.asarray(fwd(jnp.asarray(x, jnp.bfloat16))
                                  .astype(jnp.float32)),
             images, sigma=25.0, bucket=64)
         t = marginal(lambda z, m=model: m.apply(params, z), xb)
-        rows.append({"variant": f"{args.model}-cg{k}",
+        tag = args.model if k is None else f"{args.model}-cg{k}"
+        rows.append({"variant": tag,
                      "psnr": out["mean_psnr"], "mp_per_s": 0.262144 / t})
         print(json.dumps(rows[-1]), flush=True)
 

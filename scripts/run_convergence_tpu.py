@@ -49,9 +49,10 @@ def main():
     ap.add_argument("--extra-steps", type=int, default=0)
     ap.add_argument("--root", default="experiments/convergence_tpu")
     ap.add_argument("--model", default="flagship",
-                    choices=["flagship", "lite", "micro"],
+                    choices=["flagship", "lite", "micro", "pixel"],
                     help="member of the family to train (the lite/micro "
-                         "FLOP-reduced configs feed the PSNR-vs-MP/s curve)")
+                         "FLOP-reduced configs feed the PSNR-vs-MP/s curve; "
+                         "pixel = the v6 MultiScaleSequenceDenoiser lineage)")
     args = ap.parse_args()
     if args.model != "flagship" and args.root == "experiments/convergence_tpu":
         args.root = f"experiments/convergence_{args.model}"
@@ -66,15 +67,38 @@ def main():
     )
     from irdu_tpu.train.trainer import Trainer
 
-    mc = {"flagship": flagship_config, "lite": flagship_lite_config,
-          "micro": flagship_micro_config}[args.model]()
     max_steps = 2050 + args.extra_steps
-    config = {
-        "name": os.path.basename(args.root),
-        "task": "denoise",
-        "manual_seed": 2204,
-        "path": {"root_dir": "experiments"},
-        "model": {
+    if args.model == "pixel":
+        # the v6 pixel-domain lineage at its reference scale (24 graphs ×
+        # 3 node-fts, diamond12, 4 CG — scripts/run_lightformer_GGTV_GGLR_
+        # sigma25.py:117-120 uses vary_addictive_noise); no encode/decode
+        # API, so the flagship aux losses are off.
+        model_conf = {
+            "type": "multiscale_sequence_denoiser",
+            "n_graphs": 24,
+            "n_node_fts": 3,
+            "n_cnn_fts": 72,
+            "window": "diamond12",
+            "remat": True,
+        }
+        dist_mode = "vary_addictive_noise"
+        lambda_noise = [[1.0, 10.0, 15.0, 20.0, 25.0],
+                        [0.1, 0.1, 0.1, 0.1, 0.6]]
+        use_aux = False
+        # the reference pixel trainer's 64/128/256/512 progression, scaled
+        # to the same 2050 steps/epoch as the flagship runs
+        stages = [
+            {"patch_size": 64, "batch_size": 16, "max_num_patchs": 19200},
+            {"patch_size": 128, "batch_size": 4, "max_num_patchs": 1600},
+            {"patch_size": 256, "batch_size": 2, "max_num_patchs": 600},
+            {"patch_size": 512, "batch_size": 1, "max_num_patchs": 150},
+        ]
+        schedule = {"type": "multistep", "base_lr": 4.0e-4,
+                    "milestones": [600, 1500, 1900], "gamma": 0.5}
+    else:
+        mc = {"flagship": flagship_config, "lite": flagship_lite_config,
+              "micro": flagship_micro_config}[args.model]()
+        model_conf = {
             "type": "abstract_multiscale_graph_filter",
             "dims": list(mc["dims"]),
             "hidden_dims": list(mc["hidden_dims"]),
@@ -82,14 +106,30 @@ def main():
             "num_blocks": list(mc["num_blocks"]),
             "num_blocks_out": mc["num_blocks_out"],
             "remat": True,
-        },
+        }
+        dist_mode = "addictive_noise_scale"
+        lambda_noise = 25.0
+        use_aux = True
+        stages = [
+            {"patch_size": 128, "batch_size": 4, "max_num_patchs": 4800},
+            {"patch_size": 192, "batch_size": 3, "max_num_patchs": 1200},
+            {"patch_size": 256, "batch_size": 2, "max_num_patchs": 600},
+            {"patch_size": 384, "batch_size": 1, "max_num_patchs": 150},
+        ]
+        schedule = {"type": "flagship"}
+    config = {
+        "name": os.path.basename(args.root),
+        "task": "denoise",
+        "manual_seed": 2204,
+        "path": {"root_dir": "experiments"},
+        "model": model_conf,
         "parallel": {"data_parallel": 1},
         "datasets": {
             "train": {
                 "csv_path": os.path.join(args.root, "train.csv"),
                 "root_folder": os.path.join(args.root, "train_images"),
-                "dist_mode": "addictive_noise_scale",
-                "lambda_noise": 25.0,
+                "dist_mode": dist_mode,
+                "lambda_noise": lambda_noise,
                 "use_data_aug": True,
                 "seed": 2204,
             }
@@ -106,16 +146,11 @@ def main():
         },
         "train": {
             "num_epochs": 4,
-            # the reference's 128/192/256/384 progressive schedule
+            # the reference's progressive-patch schedule
             # (scripts_v2/...sigma25.py:50-115), scaled to this corpus
-            "stages": [
-                {"patch_size": 128, "batch_size": 4, "max_num_patchs": 4800},
-                {"patch_size": 192, "batch_size": 3, "max_num_patchs": 1200},
-                {"patch_size": 256, "batch_size": 2, "max_num_patchs": 600},
-                {"patch_size": 384, "batch_size": 1, "max_num_patchs": 150},
-            ],
-            "schedule": {"type": "flagship"},
-            "use_aux_losses": True,
+            "stages": stages,
+            "schedule": schedule,
+            "use_aux_losses": use_aux,
             "verbose_rate": 50,
             "checkpoint_rate": 500,
             "eval_rate": 500,

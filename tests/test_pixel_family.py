@@ -37,6 +37,38 @@ def test_denoiser_top_smoke(rng):
     assert y.shape == (1, 16, 16, 3)
 
 
+def test_pixel_remat_matches(rng):
+    """remat=True (per-FFBlock + per-solver-segment rematerialization, the
+    training-memory knob) must leave forward AND gradients unchanged."""
+    base = MultiScaleSequenceDenoiser(n_graphs=2, n_node_fts=3, n_cnn_fts=8)
+    rem = MultiScaleSequenceDenoiser(n_graphs=2, n_node_fts=3, n_cnn_fts=8,
+                                     remat=True)
+    x = jnp.asarray(rng.rand(1, 16, 16, 3).astype(np.float32))
+    t = jnp.asarray(rng.rand(1, 16, 16, 3).astype(np.float32))
+    # init THROUGH the remat model: flax creates the graph-op submodule
+    # params lazily, and doing so inside a jax.checkpoint trace used to
+    # leak tracers (the trainer always inits the remat model)
+    params = jax.jit(rem.init)(jax.random.PRNGKey(0), x)
+    base_params = jax.jit(base.init)(jax.random.PRNGKey(0), x)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(base_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    np.testing.assert_allclose(
+        np.asarray(base.apply(params, x)), np.asarray(rem.apply(params, x)),
+        atol=1e-6)
+
+    def loss(m):
+        return lambda p: jnp.mean(jnp.abs(m.apply(p, x) - t))
+
+    g1 = jax.grad(loss(base))(params)
+    g2 = jax.grad(loss(rem))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
+
+
 @requires_reference
 def test_pixel_solver_parity(rng):
     import torch

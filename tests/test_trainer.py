@@ -134,6 +134,35 @@ def test_trainer_dp_mesh(corpus, tmp_path):
     assert out["step"] == 1
 
 
+def test_trainer_pixel_family(corpus, tmp_path):
+    """The config-driven trainer also drives the pixel-domain lineage
+    (multiscale_sequence_denoiser, no encode/decode API so aux losses
+    off) — the combination scripts/run_convergence_tpu.py --model pixel
+    runs at v6 scale on the chip."""
+    root, csv_path = corpus
+    conf = _config(root, csv_path, str(tmp_path), max_steps=2)
+    conf["name"] = "tiny_pixel"
+    conf["model"] = {
+        "type": "multiscale_sequence_denoiser",
+        "n_graphs": 1,
+        "n_node_fts": 3,
+        "n_cnn_fts": 8,
+        # the smallest window + shallow feature U-Net: the v6-scale
+        # (diamond12, deep U-Net) train step takes >15 min to jit-compile
+        # on CPU XLA — compile time, not step time, is the cost here
+        "window": "cross4",
+        "feature_num_blocks": [1, 1, 1, 1],
+        "feature_num_refinement": 1,
+    }
+    conf["datasets"]["train"]["dist_mode"] = "vary_addictive_noise"
+    conf["datasets"]["train"]["lambda_noise"] = [[10.0, 25.0], [0.4, 0.6]]
+    conf["train"]["use_aux_losses"] = False
+    conf["train"]["schedule"] = {
+        "type": "multistep", "base_lr": 4e-4, "milestones": [1], "gamma": 0.5}
+    out = Trainer(conf).run()
+    assert out["step"] == 2
+
+
 def test_flagship_schedule_values():
     sched = flagship_lr_schedule()
     np.testing.assert_allclose(float(sched(0)), 4e-4, rtol=1e-6)
