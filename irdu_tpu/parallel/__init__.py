@@ -7,3 +7,8 @@ from irdu_tpu.parallel.mesh import (
     replicated_sharding,
     shard_batch,
 )
+from irdu_tpu.parallel.spatial import (
+    halo_shard_forward,
+    sharded_tiled_forward,
+    tiled_forward,
+)
