@@ -1,0 +1,88 @@
+"""Ahead-of-time export for serving: serialize the jitted forward as a
+portable StableHLO artifact (`jax.export`), reload it without any model
+code, and run it.
+
+The reference has no deployment story beyond "load the .pt in a notebook"
+(/root/reference/exploration/GGTV_GGLR_v1.0/README.ipynb cell 3). Here the
+deployable unit is a self-contained serialized program: weights are baked
+in as constants, shapes/dtypes are pinned, and the consumer needs only
+jax — no flax module tree, no irdu_tpu import. This is the TPU-native
+analogue of a TorchScript/ONNX export.
+
+Notes
+-----
+* Exports are platform-tagged: a program exported on the TPU backend
+  (including its Mosaic/Pallas custom calls) reloads on TPU; export on CPU
+  for a CPU-servable artifact. `load_exported` checks the tag up front so
+  a mismatch fails with a clear message instead of an XLA error.
+* Static shapes by design (XLA semantics): one artifact per (batch, H, W)
+  bucket, mirroring the eval pipeline's pad-to-bucket batching. Serving
+  arbitrary sizes = reflect-pad to the nearest bucket, run, crop — exactly
+  the benchmark protocol (eval/harness.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import export as jax_export
+
+__all__ = ["export_forward", "load_exported"]
+
+_MAGIC = b"IRDU1"
+
+
+def export_forward(apply_fn, params, batch: int, height: int, width: int,
+                   *, dtype=jnp.bfloat16, path: str | None = None) -> bytes:
+    """Export `apply_fn(params, x)` with `params` baked in, for input
+    shape (batch, height, width, 3) of `dtype`. Returns the serialized
+    bytes (and writes them to `path` if given)."""
+    if height % 16 or width % 16:
+        raise ValueError("export shapes must be /16 (the model's resample "
+                         f"factor); got {height}x{width}")
+    params = jax.tree_util.tree_map(lambda a: jnp.asarray(a, dtype), params)
+
+    def fwd(x):
+        return apply_fn(params, x)
+
+    spec = jax.ShapeDtypeStruct((batch, height, width, 3), dtype)
+    exported = jax_export.export(jax.jit(fwd))(spec)
+    blob = _MAGIC + exported.serialize()
+    if path is not None:
+        with open(path, "wb") as f:
+            f.write(blob)
+    return blob
+
+
+def load_exported(blob_or_path):
+    """Deserialize an export_forward artifact -> callable(x) -> denoised.
+
+    Accepts the raw bytes or a file path. Raises if the artifact's
+    platform tag doesn't match the current default backend."""
+    if isinstance(blob_or_path, str):
+        with open(blob_or_path, "rb") as f:
+            blob = f.read()
+    else:
+        blob = bytes(blob_or_path)
+    if blob[:5] != _MAGIC:
+        raise ValueError("not an irdu_tpu export artifact")
+    exported = jax_export.deserialize(blob[5:])
+    backend = jax.default_backend()
+    plats = [p.lower() for p in exported.platforms]
+    if backend.lower() not in plats and backend != "axon":
+        raise ValueError(
+            f"artifact was exported for {exported.platforms}, but the "
+            f"current backend is {backend!r}; re-export on this platform")
+
+    (in_spec,) = exported.in_avals
+
+    def run(x):
+        x = jnp.asarray(x, in_spec.dtype)
+        if x.shape != in_spec.shape:
+            raise ValueError(f"expected input {in_spec.shape}, got {x.shape}")
+        return exported.call(x)
+
+    run.input_shape = tuple(in_spec.shape)
+    run.input_dtype = np.dtype(in_spec.dtype)
+    return run

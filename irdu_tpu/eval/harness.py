@@ -49,6 +49,7 @@ def evaluate_pairs(
     save_dir: str | None = None,
     save_tag: str = "LGU",
     dataset_name: str = "set",
+    compute_ssim: bool = False,
 ) -> dict:
     """Run the benchmark protocol over uint8 HWC images.
 
@@ -59,7 +60,7 @@ def evaluate_pairs(
     Returns {"psnr": [...], "mean_psnr": float, "seconds": [...]}.
     """
     rs = np.random.RandomState(seed=seed)
-    psnrs, times = [], []
+    psnrs, times, ssims = [], [], []
     pad_factor = bucket if bucket else factor
     if save_dir:
         os.makedirs(save_dir, exist_ok=True)
@@ -75,6 +76,10 @@ def evaluate_pairs(
         restored = np.clip(restored[:h, :w], 0.0, 1.0)
         restored_255 = img_as_ubyte(restored).astype(np.float32)
         psnrs.append(psnr_255(img_true_255, restored_255))
+        if compute_ssim:
+            from irdu_tpu.eval.metrics import ssim_255
+
+            ssims.append(ssim_255(img_true_255, restored_255))
         if save_dir:
             # clean/noisy/denoised triptych files, reference naming scheme
             # "{dataset}_sigma{σ}_{img}_{tag}_denoised.png" (README.ipynb cell 10)
@@ -87,11 +92,15 @@ def evaluate_pairs(
                 os.path.join(save_dir, f"{stem}_noisy.png"))
             Image.fromarray(restored_255.astype(np.uint8)).save(
                 os.path.join(save_dir, f"{stem}_{save_tag}_denoised.png"))
-    return {
+    out = {
         "psnr": psnrs,
         "mean_psnr": float(np.mean(psnrs)),
         "seconds": times,
     }
+    if compute_ssim:
+        out["ssim"] = ssims
+        out["mean_ssim"] = float(np.mean(ssims))
+    return out
 
 
 def evaluate_pairs_batched(

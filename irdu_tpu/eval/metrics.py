@@ -31,3 +31,44 @@ def psnr_unit(reference: np.ndarray, restored: np.ndarray) -> float:
     if mse == 0:
         return float("inf")
     return 10.0 * float(np.log10(1.0 / mse))
+
+
+def ssim_255(reference_255: np.ndarray, restored_255: np.ndarray,
+             win_size: int = 7) -> float:
+    """Mean SSIM in the 255-scale domain (Wang et al. 2004), with the
+    conventions denoising papers inherit from skimage defaults: uniform
+    win_size×win_size window, sample (N−1) covariance normalization,
+    K1=0.01/K2=0.03, data_range=255, channel-averaged, border of
+    (win_size−1)/2 excluded. The reference repo reports PSNR only; SSIM is
+    the standard companion metric for its benchmark tables, so the eval
+    harness carries both."""
+    from scipy.ndimage import uniform_filter
+
+    x = np.asarray(reference_255, np.float64)
+    y = np.asarray(restored_255, np.float64)
+    if x.ndim == 2:
+        x, y = x[..., None], y[..., None]
+    if x.shape != y.shape:
+        raise ValueError(f"shape mismatch {x.shape} vs {y.shape}")
+
+    k1, k2, drange = 0.01, 0.03, 255.0
+    c1, c2 = (k1 * drange) ** 2, (k2 * drange) ** 2
+    npix = win_size ** 2
+    cov_norm = npix / (npix - 1.0)
+    pad = (win_size - 1) // 2
+
+    vals = []
+    for c in range(x.shape[-1]):
+        xc, yc = x[..., c], y[..., c]
+        ux = uniform_filter(xc, win_size)
+        uy = uniform_filter(yc, win_size)
+        uxx = uniform_filter(xc * xc, win_size)
+        uyy = uniform_filter(yc * yc, win_size)
+        uxy = uniform_filter(xc * yc, win_size)
+        vx = cov_norm * (uxx - ux * ux)
+        vy = cov_norm * (uyy - uy * uy)
+        vxy = cov_norm * (uxy - ux * uy)
+        s = ((2 * ux * uy + c1) * (2 * vxy + c2)) / (
+            (ux * ux + uy * uy + c1) * (vx + vy + c2))
+        vals.append(np.mean(s[pad:s.shape[0] - pad, pad:s.shape[1] - pad]))
+    return float(np.mean(vals))

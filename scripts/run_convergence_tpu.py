@@ -19,7 +19,12 @@ import os
 import numpy as np
 
 
-def build_corpus(root: str):
+def build_corpus(root: str, extra_train: int = 0):
+    """Deterministic synthetic corpus. The base 24-train/6-val draw from
+    RandomState(42) is bit-stable (committed npz weights are evaluated
+    against this exact val set); `extra_train` appends additional train
+    images from an independent RandomState(142) stream so longer runs see
+    more data WITHOUT perturbing the base draw or the val set."""
     from PIL import Image
 
     from irdu_tpu.data.dataset import build_image_index
@@ -27,27 +32,48 @@ def build_corpus(root: str):
 
     train_dir = os.path.join(root, "train_images")
     val_dir = os.path.join(root, "val_images")
-    if os.path.exists(os.path.join(root, "train.csv")):
-        return
-    os.makedirs(train_dir, exist_ok=True)
-    os.makedirs(val_dir, exist_ok=True)
-    rng = np.random.RandomState(42)
-    for i in range(24):
-        h = int(rng.randint(420, 520))
-        w = int(rng.randint(420, 520))
-        Image.fromarray(make_synthetic_image(rng, h, w)).save(
-            os.path.join(train_dir, f"t{i:03d}.png"))
-    for i in range(6):  # one eval shape -> one compiled eval program
-        Image.fromarray(make_synthetic_image(rng, 384, 512)).save(
-            os.path.join(val_dir, f"v{i:03d}.png"))
-    build_image_index(train_dir, os.path.join(root, "train.csv"))
-    build_image_index(val_dir, os.path.join(root, "val.csv"))
+    if not os.path.exists(os.path.join(root, "train.csv")):
+        os.makedirs(train_dir, exist_ok=True)
+        os.makedirs(val_dir, exist_ok=True)
+        rng = np.random.RandomState(42)
+        for i in range(24):
+            h = int(rng.randint(420, 520))
+            w = int(rng.randint(420, 520))
+            Image.fromarray(make_synthetic_image(rng, h, w)).save(
+                os.path.join(train_dir, f"t{i:03d}.png"))
+        for i in range(6):  # one eval shape -> one compiled eval program
+            Image.fromarray(make_synthetic_image(rng, 384, 512)).save(
+                os.path.join(val_dir, f"v{i:03d}.png"))
+        build_image_index(val_dir, os.path.join(root, "val.csv"))
+        build_image_index(train_dir, os.path.join(root, "train.csv"))
+    if extra_train and not os.path.exists(
+            os.path.join(train_dir, f"x{extra_train - 1:03d}.png")):
+        rng = np.random.RandomState(142)
+        for i in range(extra_train):
+            h = int(rng.randint(420, 520))
+            w = int(rng.randint(420, 520))
+            Image.fromarray(make_synthetic_image(rng, h, w)).save(
+                os.path.join(train_dir, f"x{i:03d}.png"))
+        build_image_index(train_dir, os.path.join(root, "train.csv"))
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--extra-steps", type=int, default=0)
+    ap.add_argument("--schedule", default="reference",
+                    choices=["reference", "scaled"],
+                    help="'reference' = the verbatim flagship LR scheme "
+                         "(first decay at 50k — effectively constant 4e-4 "
+                         "for short runs); 'scaled' = the same MultiStep-"
+                         "then-cosine shape compressed to this run's "
+                         "horizon, so a few-thousand-step run actually "
+                         "anneals (scripts_v2/...sigma25.py:146-163 shape)")
     ap.add_argument("--root", default="experiments/convergence_tpu")
+    ap.add_argument("--extra-train-images", type=int, default=0,
+                    help="append N extra synthetic train images (separate "
+                         "deterministic stream; base corpus + val set stay "
+                         "bit-identical) — use for longer runs so the small "
+                         "24-image base corpus doesn't overfit")
     ap.add_argument("--model", default="flagship",
                     choices=["flagship", "lite", "micro", "pixel"],
                     help="member of the family to train (the lite/micro "
@@ -58,7 +84,7 @@ def main():
         args.root = f"experiments/convergence_{args.model}"
 
     os.makedirs(args.root, exist_ok=True)
-    build_corpus(args.root)
+    build_corpus(args.root, extra_train=args.extra_train_images)
 
     from irdu_tpu.models.flagship import (
         flagship_config,
@@ -116,7 +142,24 @@ def main():
             {"patch_size": 256, "batch_size": 2, "max_num_patchs": 600},
             {"patch_size": 384, "batch_size": 1, "max_num_patchs": 150},
         ]
-        schedule = {"type": "flagship"}
+        if args.schedule == "scaled":
+            # the reference scheme (4e-4, ×0.5^0.25 every 50k to 600k, then
+            # cosine 5e-5→1e-6 over 701k of an ~820k-iter run) compressed by
+            # s = max_steps/820k so the run ends annealed rather than at the
+            # constant head of the schedule
+            s = max_steps / 820000.0
+            schedule = {
+                "type": "multistep_then_cosine",
+                "base_lr": 4.0e-4,
+                "milestones": [max(1, round(50000 * i * s)) for i in range(1, 13)],
+                "gamma": float(np.sqrt(np.sqrt(0.5))),
+                "switch_step": max(1, round(600000 * s)),
+                "cosine_base_lr": 5.0e-5,
+                "cosine_t_max": max(1, round(701000 * s)),
+                "eta_min": 1.0e-6,
+            }
+        else:
+            schedule = {"type": "flagship"}
     config = {
         "name": os.path.basename(args.root),
         "task": "denoise",
