@@ -70,7 +70,7 @@ def load_exported(blob_or_path):
     exported = jax_export.deserialize(blob[5:])
     backend = jax.default_backend()
     plats = [p.lower() for p in exported.platforms]
-    if backend.lower() not in plats and backend != "axon":
+    if backend.lower() not in plats:
         raise ValueError(
             f"artifact was exported for {exported.platforms}, but the "
             f"current backend is {backend!r}; re-export on this platform")
@@ -86,3 +86,53 @@ def load_exported(blob_or_path):
     run.input_shape = tuple(in_spec.shape)
     run.input_dtype = np.dtype(in_spec.dtype)
     return run
+
+
+def main(argv=None):
+    """CLI: bake a trained weight snapshot into a servable artifact.
+
+        python -m irdu_tpu.deploy --model flagship --size 512 \
+            --output flagship_512.irdu [--batch 1] [--cg-iters 3]
+
+    Exports for the CURRENT backend (TPU under jit on the chip; CPU when
+    forced) at one static (batch, size, size) bucket — the serving recipe
+    is reflect-pad to bucket, run, crop (eval/harness.py protocol)."""
+    import argparse
+    import json
+
+    ap = argparse.ArgumentParser(prog="python -m irdu_tpu.deploy",
+                                 description=main.__doc__)
+    ap.add_argument("--model", default="flagship",
+                    choices=("flagship", "lite", "micro", "pixel"))
+    ap.add_argument("--weights", default=None,
+                    help="npz snapshot (default: newest "
+                         "artifacts/weights/<model>_*.npz)")
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--size", type=int, default=512,
+                    help="square input bucket (px, /16)")
+    ap.add_argument("--cg-iters", type=int, default=3)
+    ap.add_argument("--output", required=True)
+    args = ap.parse_args(argv)
+
+    from irdu_tpu.predict import build_model, default_weights
+    from irdu_tpu.utils.weights import load_params_npz
+
+    weights = args.weights or default_weights(args.model)
+    if weights is None:
+        raise SystemExit(f"no weight snapshot found for {args.model!r}")
+    on_tpu = jax.default_backend() == "tpu"
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    model = build_model(args.model, fast=on_tpu, cg_iters=args.cg_iters)
+    params = load_params_npz(weights, dtype=dtype)
+    blob = export_forward(model.apply, params, args.batch, args.size,
+                          args.size, dtype=dtype, path=args.output)
+    print(json.dumps({
+        "artifact": args.output, "bytes": len(blob),
+        "model": args.model, "weights": weights,
+        "input": [args.batch, args.size, args.size, 3],
+        "dtype": str(np.dtype(dtype)), "backend": jax.default_backend(),
+    }))
+
+
+if __name__ == "__main__":
+    main()
