@@ -75,10 +75,12 @@ def main():
                          "bit-identical) — use for longer runs so the small "
                          "24-image base corpus doesn't overfit")
     ap.add_argument("--model", default="flagship",
-                    choices=["flagship", "lite", "micro", "pixel"],
+                    choices=["flagship", "lite", "micro", "pixel", "boosting"],
                     help="member of the family to train (the lite/micro "
                          "FLOP-reduced configs feed the PSNR-vs-MP/s curve; "
-                         "pixel = the v6 MultiScaleSequenceDenoiser lineage)")
+                         "pixel = the v6 MultiScaleSequenceDenoiser lineage; "
+                         "boosting = the multiscale GLR boosting pyramid, "
+                         "BASELINE.json config #2)")
     args = ap.parse_args()
     if args.model != "flagship" and args.root == "experiments/convergence_tpu":
         args.root = f"experiments/convergence_{args.model}"
@@ -94,7 +96,33 @@ def main():
     from irdu_tpu.train.trainer import Trainer
 
     max_steps = 2050 + args.extra_steps
-    if args.model == "pixel":
+    if args.model == "boosting":
+        # BASELINE.json config #2: the multiscale-GLR-boosting pyramid
+        # reconstructed from the 2002 notebook (models/glr_boosting.py;
+        # upstream model_MMGLR module is missing from the reference).
+        # Notebook config: 5 graphs, 4 levels, 5 CG iters, per-level μ
+        # halving 0.3→0.0375; trained at 128² patches, vary-noise.
+        model_conf = {
+            "type": "glr_boosting_pyramid",
+            "n_graphs": 5,
+            "n_levels": 4,
+            "n_cgd_iters": 5,
+            "nchannels_abstract": 12,
+            "muy_init": [0.3, 0.15, 0.075, 0.0375],
+            "node_fts": [12, 12, 24, 48],
+            "level_features": [60, 60, 120, 240],
+        }
+        dist_mode = "vary_addictive_noise"
+        lambda_noise = [[1.0, 10.0, 15.0, 20.0, 25.0],
+                        [0.1, 0.1, 0.1, 0.1, 0.6]]
+        use_aux = False
+        stages = [
+            {"patch_size": 128, "batch_size": 8,
+             "max_num_patchs": 8 * max_steps},
+        ]
+        schedule = {"type": "multistep", "base_lr": 4.0e-4,
+                    "milestones": [600, 1500, 1900], "gamma": 0.5}
+    elif args.model == "pixel":
         # the v6 pixel-domain lineage at its reference scale (24 graphs ×
         # 3 node-fts, diamond12, 4 CG — scripts/run_lightformer_GGTV_GGLR_
         # sigma25.py:117-120 uses vary_addictive_noise); no encode/decode
