@@ -7,7 +7,7 @@ import os
 import pytest
 
 from irdu_tpu.models.registry import available_models, create_model
-from irdu_tpu.utils.config import load_config
+from irdu_tpu.utils.config import apply_overrides, load_config
 
 CONFIG_DIR = os.path.join(os.path.dirname(__file__), "..", "configs")
 CONFIGS = sorted(glob.glob(os.path.join(CONFIG_DIR, "*.yaml")))
@@ -56,3 +56,26 @@ def test_registry_exposes_all_baselines():
     m = create_model("abstract_multiscale_graph_filter",
                      conv_variant="non_expansive")
     assert m.conv_variant == "non_expansive"
+
+
+def test_apply_overrides_dotted_paths_and_yaml_values():
+    """`python -m irdu_tpu.train -c cfg.yaml -s key.path=value` semantics:
+    dotted paths create/replace nested keys, values are YAML-parsed."""
+    conf = {"name": "x", "train": {"max_steps": 100, "stages": [1]},
+            "datasets": {"train": {"csv_path": "a.csv"}}}
+    apply_overrides(conf, [
+        "train.max_steps=800",                      # int, replaces
+        "datasets.train.csv_path=other/train.csv",  # str
+        "train.schedule.base_lr=1e-4",              # float, creates subtree
+        "eval.sigma=25.0",                          # creates top-level
+        "train.use_aux_losses=false",               # bool
+    ])
+    assert conf["train"]["max_steps"] == 800
+    assert conf["datasets"]["train"]["csv_path"] == "other/train.csv"
+    assert conf["train"]["schedule"]["base_lr"] == 1e-4
+    assert conf["eval"]["sigma"] == 25.0
+    assert conf["train"]["use_aux_losses"] is False
+    assert conf["train"]["stages"] == [1]  # untouched siblings survive
+
+    with pytest.raises(ValueError, match="key=value"):
+        apply_overrides(conf, ["no-equals-sign"])
