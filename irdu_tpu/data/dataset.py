@@ -239,3 +239,50 @@ class PatchDataset:
         if clip:
             noisy = np.clip(noisy, 0.0, 1.0)
         return noisy, patch
+
+    # -- native batch path -------------------------------------------------
+
+    def native_compatible(self) -> bool:
+        """True when `get_batch` can serve items bit-identically to
+        `__getitem__`: 3-channel uint8 sources, supported noise mode, and
+        (if augmenting) a square /16-floored patch."""
+        from irdu_tpu.data import native
+
+        if not native.available():
+            return False
+        from irdu_tpu.data.degradations import _ALIASES
+
+        mode = _ALIASES.get(self.dist_mode, self.dist_mode)
+        if mode not in ("addictive_noise", "addictive_noise_scale",
+                        "vary_addictive_noise", "none", "", None):
+            return False
+        ph, pw = self.patch_size
+        if self.use_data_aug and (ph // 16) * 16 != (pw // 16) * 16:
+            return False
+        return True
+
+    def get_batch(self, indices, num_threads: int = 0
+                  ) -> tuple[np.ndarray, np.ndarray]:
+        """Assemble a whole (noisy, clean) batch in the native C++ pipeline
+        (threads across items; bit-exact with `__getitem__` per item —
+        tests/test_native_data.py)."""
+        from irdu_tpu.data import native
+        from irdu_tpu.data.degradations import _ALIASES
+
+        recs = [self._patches[int(i)] for i in indices]
+        images = [self._image(r["path"]) for r in recs]
+        crops = np.array([[r["row"], r["col"]] for r in recs], np.int32)
+        pads = np.array([r["padding"] for r in recs], np.uint8)
+        idx = np.asarray(list(indices), np.int64)
+        clip = (self.clip_noisy if self.clip_noisy is not None
+                else (self.sampling == "resize"))
+        return native.make_pairs(
+            images, crops, pads, idx,
+            patch_size=tuple(self.patch_size),
+            seed=self._item_seed,
+            use_aug=self.use_data_aug,
+            dist_mode=_ALIASES.get(self.dist_mode, self.dist_mode),
+            lambda_noise=self.lambda_noise,
+            clip=bool(clip),
+            num_threads=num_threads,
+        )

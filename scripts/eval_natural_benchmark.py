@@ -1,0 +1,107 @@
+"""Score committed weight snapshots on the held-out NATURAL eval set.
+
+The set (artifacts/natural_eval/, built by scripts/extract_natural_eval.py)
+is four genuine Kodak-style photographs recovered from the reference's
+qualitative figure panels — pixels that appear in NO training corpus here
+(the natural fine-tune trains only on 0020.png tiles). Protocol matches
+the reference benchmark loop (seed-2204 noise, /16 reflect pad, uint8
+PSNR — SURVEY §1 L7; ref scripts_v2/run_abtract_lightformer_GGTV_GGLR_
+sigma25.py:235-343).
+
+Usage (real TPU):
+  python scripts/eval_natural_benchmark.py            # all snapshots
+  python scripts/eval_natural_benchmark.py --weights artifacts/weights/flagship_natural_ft.npz --model flagship
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+SNAPSHOTS = [
+    ("flagship", "artifacts/weights/flagship_synthetic_2050.npz"),
+    ("flagship", "artifacts/weights/flagship_natural_ft.npz"),
+    ("lite", "artifacts/weights/lite_synthetic_2050.npz"),
+    ("micro", "artifacts/weights/micro_synthetic_2050.npz"),
+    ("pixel", "artifacts/weights/pixel_synthetic_2050.npz"),
+    ("boosting", "artifacts/weights/boosting_synthetic_2050.npz"),
+]
+
+
+def build_model(name: str):
+    if name == "pixel":
+        from irdu_tpu.models.pixel import MultiScaleSequenceDenoiser
+
+        return MultiScaleSequenceDenoiser(
+            n_graphs=24, n_node_fts=3, n_cnn_fts=72, window="diamond12")
+    if name == "boosting":
+        from irdu_tpu.models.glr_boosting import GLRBoostingPyramid
+
+        return GLRBoostingPyramid()
+    from irdu_tpu.models.flagship import (
+        AbstractMultiScaleGraphFilter,
+        flagship_config,
+        flagship_lite_config,
+        flagship_micro_config,
+    )
+
+    cfg = {"flagship": flagship_config, "lite": flagship_lite_config,
+           "micro": flagship_micro_config}[name]()
+    return AbstractMultiScaleGraphFilter(
+        use_pallas_blocks=True, use_pallas_solver=True, **cfg)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from irdu_tpu.eval.harness import evaluate_pairs, load_benchmark_images
+    from irdu_tpu.utils.profiling import enable_compile_cache
+    from irdu_tpu.utils.weights import load_params_npz
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data", default="artifacts/natural_eval")
+    ap.add_argument("--sigma", type=float, default=25.0)
+    ap.add_argument("--bucket", type=int, default=64)
+    ap.add_argument("--model", default=None)
+    ap.add_argument("--weights", default=None)
+    args = ap.parse_args()
+
+    enable_compile_cache()
+    if not os.path.exists(os.path.join(args.data, "index.csv")):
+        subprocess.run([sys.executable, "scripts/extract_natural_eval.py",
+                        "--out", args.data], check=True)
+    images = load_benchmark_images(os.path.join(args.data, "index.csv"),
+                                   os.path.join(args.data, "images"))
+    noisy_psnr = evaluate_pairs(lambda x: x, images, sigma=args.sigma,
+                                bucket=args.bucket)["mean_psnr"]
+    print(json.dumps({"snapshot": "noisy-input", "psnr": noisy_psnr}),
+          flush=True)
+
+    todo = ([(args.model, args.weights)] if args.weights
+            else [s for s in SNAPSHOTS if os.path.exists(s[1])])
+    results = []
+    for name, path in todo:
+        model = build_model(name)
+        params = load_params_npz(path, dtype=jnp.bfloat16)
+        fwd = jax.jit(lambda x, m=model: m.apply(params, x))
+        out = evaluate_pairs(
+            lambda x: np.asarray(fwd(jnp.asarray(x, jnp.bfloat16))
+                                 .astype(jnp.float32)),
+            images, sigma=args.sigma, bucket=args.bucket)
+        row = {"snapshot": os.path.basename(path), "model": name,
+               "psnr": out["mean_psnr"],
+               "per_image": [round(p, 3) for p in out["psnr"]]}
+        results.append(row)
+        print(json.dumps(row), flush=True)
+    print(json.dumps({"sigma": args.sigma, "noisy": noisy_psnr,
+                      "results": results}))
+
+
+if __name__ == "__main__":
+    main()

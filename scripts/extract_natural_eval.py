@@ -1,0 +1,128 @@
+"""Build the held-out natural-image eval set from the reference snapshot.
+
+The reference repo bundles no benchmark datasets, but its visual
+comparison figures (`exploration/visual/img0{1..4}.png`, the README's
+qualitative panels) each end with a "True Image" panel — a genuine clean
+Kodak-style photograph with red zoom-inset annotations drawn on top.
+This script recovers clean natural image crops from those panels:
+
+  1. split each strip on its all-white gutter columns and take the last
+     (rightmost, "True Image") panel, dropping the title rows;
+  2. mask the annotation overlays: near-pure red pixels ((~236,5,5),
+     far outside natural-content chroma; dilated 2 px for anti-aliasing)
+     plus the hand-measured bounding boxes of the pasted magnification
+     insets (whose interiors are resampled duplicates, not original
+     pixels);
+  3. save the largest axis-aligned overlay-free rectangle of each panel.
+
+The four crops (parrots / lamp ceiling / chicks / covered bridge) form
+`artifacts/natural_eval/` with the reference CSV index schema — a real
+held-out natural benchmark: none of these pixels appear in any training
+corpus (the natural fine-tune trains only on 0020.png tiles).
+
+Usage: python scripts/extract_natural_eval.py  [--out artifacts/natural_eval]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+REF_DIR = "/root/reference/exploration/visual"
+
+# Hand-measured bboxes (y0, x0, y1, x1), in last-panel coordinates, of the
+# pasted magnification insets (their interiors are bicubic-zoomed copies,
+# not original pixels). img03 has only dashed-outline annotations (caught
+# by the red mask); no pasted inset.
+INSETS = {
+    "img01": [(0, 0, 196, 201)],
+    "img02": [(0, 0, 193, 198)],
+    "img03": [],
+    "img04": [(230, 240, 470, 472)],
+}
+
+
+def last_panel(strip: np.ndarray) -> np.ndarray:
+    """Rightmost figure panel, title rows removed."""
+    white = strip.min(axis=2) > 245
+    col_white = white.all(axis=0)
+    runs, in_run, start = [], False, 0
+    for x in range(strip.shape[1]):
+        if col_white[x] and not in_run:
+            start, in_run = x, True
+        elif not col_white[x] and in_run:
+            runs.append((start, x))
+            in_run = False
+    if in_run:
+        runs.append((start, strip.shape[1]))
+    x0, x1 = runs[-2][1], runs[-1][0]
+    panel = strip[:, x0:x1]
+    # image rows = rows that are >90% non-white (titles are sparse text)
+    frac = (panel.min(axis=2) < 240).mean(axis=1)
+    ys = np.where(frac > 0.9)[0]
+    return panel[ys.min():ys.max() + 1]
+
+
+def overlay_mask(panel: np.ndarray, insets) -> np.ndarray:
+    r, g, b = (panel[..., i].astype(int) for i in range(3))
+    bad = (r > 190) & (g < 75) & (b < 75)
+    for _ in range(2):  # dilate for anti-aliased overlay edges
+        grown = bad.copy()
+        grown[1:] |= bad[:-1]
+        grown[:-1] |= bad[1:]
+        grown[:, 1:] |= bad[:, :-1]
+        grown[:, :-1] |= bad[:, 1:]
+        bad = grown
+    for (y0, x0, y1, x1) in insets:
+        bad[y0:y1, x0:x1] = True
+    return bad
+
+
+def max_clean_rect(bad: np.ndarray) -> tuple[int, int, int, int]:
+    """Largest all-False rectangle (stack-of-histograms)."""
+    H, W = bad.shape
+    heights = np.zeros(W, int)
+    best_area, best = 0, (0, 0, 0, 0)
+    for y in range(H):
+        heights = np.where(bad[y], 0, heights + 1)
+        stack: list[tuple[int, int]] = []
+        for x in range(W + 1):
+            h = int(heights[x]) if x < W else 0
+            start = x
+            while stack and stack[-1][1] >= h:
+                sx, sh = stack.pop()
+                if sh * (x - sx) > best_area:
+                    best_area, best = sh * (x - sx), (y - sh + 1, sx, y + 1, x)
+                start = sx
+            stack.append((start, h))
+    return best
+
+
+def main():
+    from PIL import Image
+
+    from irdu_tpu.data.dataset import build_image_index
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="artifacts/natural_eval")
+    args = ap.parse_args()
+    img_dir = os.path.join(args.out, "images")
+    os.makedirs(img_dir, exist_ok=True)
+
+    for name in ("img01", "img02", "img03", "img04"):
+        strip = np.asarray(
+            Image.open(os.path.join(REF_DIR, f"{name}.png")).convert("RGB"))
+        panel = last_panel(strip)
+        y0, x0, y1, x1 = max_clean_rect(overlay_mask(panel, INSETS[name]))
+        crop = panel[y0:y1, x0:x1]
+        Image.fromarray(crop).save(os.path.join(img_dir, f"{name}_true.png"))
+        print(f"{name}: panel {panel.shape[:2]} -> clean crop "
+              f"{crop.shape[0]}x{crop.shape[1]}")
+    n = build_image_index(img_dir, os.path.join(args.out, "index.csv"))
+    print(f"wrote {n}-image index to {args.out}/index.csv")
+
+
+if __name__ == "__main__":
+    main()
