@@ -112,6 +112,76 @@ def make_train_step(
     )
 
 
+def make_distill_train_step(
+    model,
+    teacher_model,
+    mesh=None,
+    *,
+    distill_weight: float = 1.0,
+    use_aux_losses: bool = True,
+    loss02_weight: float = 0.1,
+    loss03_weight: float = 0.5,
+    latent_noise_std: float = 0.05,
+    donate: bool = True,
+) -> Callable:
+    """Train step with knowledge distillation from a frozen teacher.
+
+    Objective = flagship loss + `distill_weight` · L1(student, teacher(noisy)).
+    The teacher runs inference-only inside the same jit (stop-gradient), so
+    one dispatch covers teacher forward + student forward/backward and XLA
+    can overlap them. `teacher_params` is an ARGUMENT of the jitted step —
+    array-valued closure constants inside grad graphs trigger pathological
+    compiles on this backend (CLAUDE.md).
+
+    The reference has no distillation (SURVEY §2.7); this is a deployment
+    lever for the PSNR-vs-throughput curve: small configs trained under a
+    large trained flagship recover part of the quality gap at unchanged
+    inference cost.
+    """
+
+    def step(state: TrainState, teacher_params, noisy, clean, rng):
+        # Teacher snapshots are typically bf16 (the inference fast path);
+        # match the input dtype to the params (conv rejects mixed dtypes).
+        t_dtype = jax.tree_util.tree_leaves(teacher_params)[0].dtype
+        teacher_out = jax.lax.stop_gradient(
+            teacher_model.apply(teacher_params, noisy.astype(t_dtype))
+        ).astype(clean.dtype)
+
+        def loss_fn(params):
+            loss, denoised = flagship_loss(
+                model, params, noisy, clean, rng,
+                loss02_weight=loss02_weight,
+                loss03_weight=loss03_weight,
+                latent_noise_std=latent_noise_std,
+                use_aux_losses=use_aux_losses,
+            )
+            loss = loss + distill_weight * jnp.mean(
+                jnp.abs(denoised - teacher_out))
+            return loss, denoised
+
+        (loss, denoised), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        state = state.apply_gradients(grads=grads)
+        mse = jnp.mean(jnp.square(
+            jnp.clip(clean, 0.0, 1.0) - jnp.clip(denoised, 0.0, 1.0)
+        ))
+        psnr = 10.0 * jnp.log10(1.0 / jnp.maximum(mse, 1e-12))
+        metrics = {"loss": loss, "mse": mse, "psnr": psnr}
+        return state, metrics
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+    repl = replicated_sharding(mesh)
+    batch = batch_sharding(mesh)
+    return jax.jit(
+        step,
+        in_shardings=(repl, repl, batch, batch, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
 def make_eval_forward(model, params) -> Callable:
     """(1,H,W,3) float32 -> (1,H,W,3); jit per shape (the eval harness
     buckets shapes to bound recompiles)."""

@@ -17,6 +17,7 @@ import time
 from typing import Any
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from irdu_tpu.data.dataset import PatchDataset
@@ -85,13 +86,48 @@ class Trainer:
         n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(self.state.params))
         self.logger.info("Init model with total parameters: %d", n_params)
 
-        self.train_step = make_train_step(
-            self.model,
-            self.mesh,
-            use_aux_losses=tc.get("use_aux_losses", True),
-            loss02_weight=tc.get("loss02_weight", 0.1),
-            loss03_weight=tc.get("loss03_weight", 0.5),
-        )
+        distill = tc.get("distill")
+        if distill:
+            # Knowledge distillation: a frozen teacher (any registry model +
+            # npz weight snapshot) adds an L1(student, teacher(noisy)) term.
+            # Config block:
+            #   train.distill: {model: {...}, weights: path,
+            #                   weight: 1.0, dtype: bfloat16}
+            from irdu_tpu.train.steps import make_distill_train_step
+            from irdu_tpu.utils.weights import load_params_npz
+
+            t_conf = dict(distill["model"])
+            self.teacher_model = create_model(t_conf.pop("type"), **t_conf)
+            t_dtype = getattr(jnp, distill.get("dtype", "bfloat16"))
+            self.teacher_params = load_params_npz(distill["weights"],
+                                                  dtype=t_dtype)
+            if self.mesh is not None:
+                from irdu_tpu.parallel.mesh import replicated_sharding
+
+                self.teacher_params = jax.device_put(
+                    self.teacher_params, replicated_sharding(self.mesh))
+            self.logger.info("distilling from %s (weight=%.3g)",
+                             distill["weights"], distill.get("weight", 1.0))
+            distill_step = make_distill_train_step(
+                self.model,
+                self.teacher_model,
+                self.mesh,
+                distill_weight=distill.get("weight", 1.0),
+                use_aux_losses=tc.get("use_aux_losses", True),
+                loss02_weight=tc.get("loss02_weight", 0.1),
+                loss03_weight=tc.get("loss03_weight", 0.5),
+            )
+            self.train_step = (
+                lambda state, noisy, clean, rng: distill_step(
+                    state, self.teacher_params, noisy, clean, rng))
+        else:
+            self.train_step = make_train_step(
+                self.model,
+                self.mesh,
+                use_aux_losses=tc.get("use_aux_losses", True),
+                loss02_weight=tc.get("loss02_weight", 0.1),
+                loss03_weight=tc.get("loss03_weight", 0.5),
+            )
 
         self.ckpt = CheckpointManager(
             os.path.join(self.workdir, "checkpoints"),

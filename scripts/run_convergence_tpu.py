@@ -74,6 +74,16 @@ def main():
                          "deterministic stream; base corpus + val set stay "
                          "bit-identical) — use for longer runs so the small "
                          "24-image base corpus doesn't overfit")
+    ap.add_argument("--distill-from", default=None,
+                    help="npz weight snapshot of a trained FLAGSHIP to use "
+                         "as a frozen distillation teacher (adds "
+                         "L1(student, teacher(noisy)) to the loss; the "
+                         "teacher runs the bf16 fast path inside the same "
+                         "jitted step)")
+    ap.add_argument("--distill-weight", type=float, default=1.0)
+    ap.add_argument("--tag", default=None,
+                    help="suffix for the exported npz (defaults to "
+                         "'distill' when --distill-from is set)")
     ap.add_argument("--model", default="flagship",
                     choices=["flagship", "lite", "micro", "pixel", "boosting"],
                     help="member of the family to train (the lite/micro "
@@ -84,6 +94,8 @@ def main():
     args = ap.parse_args()
     if args.model != "flagship" and args.root == "experiments/convergence_tpu":
         args.root = f"experiments/convergence_{args.model}"
+    if args.distill_from and args.root.startswith("experiments/convergence"):
+        args.root += "_distill"
 
     os.makedirs(args.root, exist_ok=True)
     build_corpus(args.root, extra_train=args.extra_train_images)
@@ -228,6 +240,24 @@ def main():
             "max_steps": max_steps,
         },
     }
+    if args.distill_from:
+        tmc = flagship_config()
+        config["train"]["distill"] = {
+            "model": {
+                "type": "abstract_multiscale_graph_filter",
+                "dims": list(tmc["dims"]),
+                "hidden_dims": list(tmc["hidden_dims"]),
+                "ngraphs": list(tmc["ngraphs"]),
+                "num_blocks": list(tmc["num_blocks"]),
+                "num_blocks_out": tmc["num_blocks_out"],
+                # inference-only teacher: ride the fused bf16 kernels
+                "use_pallas_blocks": True,
+                "use_pallas_solver": True,
+            },
+            "weights": args.distill_from,
+            "weight": args.distill_weight,
+            "dtype": "bfloat16",
+        }
     trainer = Trainer(config)
     out = trainer.run()
 
@@ -238,8 +268,9 @@ def main():
 
     from irdu_tpu.utils.weights import save_params_npz
 
+    tag = args.tag or ("distill" if args.distill_from else "synthetic")
     export = os.path.join("artifacts", "weights",
-                          f"{args.model}_synthetic_{out['step']}.npz")
+                          f"{args.model}_{tag}_{out['step']}.npz")
     os.makedirs(os.path.dirname(export), exist_ok=True)
     save_params_npz(export, jax.device_get(trainer.state.params),
                     dtype=jnp.bfloat16)

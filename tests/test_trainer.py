@@ -163,6 +163,41 @@ def test_trainer_pixel_family(corpus, tmp_path):
     assert out["step"] == 2
 
 
+def test_trainer_distillation(corpus, tmp_path):
+    """train.distill config: a frozen teacher (here: a random-init twin
+    saved as an npz snapshot) adds the L1(student, teacher) term; the run
+    must train and the teacher must stay frozen."""
+    from irdu_tpu.models.flagship import AbstractMultiScaleGraphFilter
+    from irdu_tpu.utils.weights import load_params_npz, save_params_npz
+
+    root, csv_path = corpus
+    conf = _config(root, csv_path, str(tmp_path), max_steps=2)
+    conf["name"] = "tiny_distill"
+
+    mc = {k: conf["model"][k] for k in
+          ("dims", "hidden_dims", "ngraphs", "num_blocks", "num_blocks_out")}
+    teacher = AbstractMultiScaleGraphFilter(**mc)
+    t_params = jax.jit(teacher.init)(
+        jax.random.PRNGKey(5), jnp.zeros((1, 32, 32, 3), jnp.float32))
+    t_path = str(tmp_path / "teacher.npz")
+    save_params_npz(t_path, t_params, dtype=jnp.float32)
+
+    conf["train"]["distill"] = {
+        "model": dict(conf["model"]),
+        "weights": t_path,
+        "weight": 0.7,
+        "dtype": "float32",
+    }
+    trainer = Trainer(conf)
+    out = trainer.run()
+    assert out["step"] == 2
+    # teacher params untouched by the two optimizer steps
+    before = jax.tree_util.tree_leaves(load_params_npz(t_path, dtype=jnp.float32))
+    after = jax.tree_util.tree_leaves(trainer.teacher_params)
+    for a, b in zip(before, after):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_flagship_schedule_values():
     sched = flagship_lr_schedule()
     np.testing.assert_allclose(float(sched(0)), 4e-4, rtol=1e-6)
