@@ -30,6 +30,7 @@ from irdu_tpu.train.schedules import flagship_lr_schedule, multistep_then_cosine
 from irdu_tpu.train.steps import create_train_state, make_eval_forward, make_train_step
 from irdu_tpu.utils.config import pretty_config
 from irdu_tpu.utils.logging import get_root_logger
+from irdu_tpu.utils.profiling import enable_compile_cache
 from irdu_tpu.utils.seeding import set_random_seed
 
 
@@ -61,6 +62,12 @@ class Trainer:
             f"irdu.{self.name}", log_file=os.path.join(self.workdir, "train.log")
         )
         self.logger.info("config:\n%s", pretty_config(config))
+
+        # Stage transitions recompile the train step per patch shape; through
+        # this rig's remote-compile tunnel a cold flagship compile is minutes.
+        # The repo-local persistent cache turns every re-run/resume into a
+        # seconds-long restore (same cache bench.py and __graft_entry__ ride).
+        enable_compile_cache()
 
         self.rng = set_random_seed(config.get("manual_seed", 2204))
 

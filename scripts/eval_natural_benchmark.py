@@ -28,6 +28,7 @@ SNAPSHOTS = [
     ("flagship", "artifacts/weights/flagship_natural_ft.npz"),
     ("lite", "artifacts/weights/lite_synthetic_2050.npz"),
     ("micro", "artifacts/weights/micro_synthetic_2050.npz"),
+    ("micro", "artifacts/weights/micro_distill03_2050.npz"),
     ("pixel", "artifacts/weights/pixel_synthetic_2050.npz"),
     ("boosting", "artifacts/weights/boosting_synthetic_2050.npz"),
 ]
@@ -89,9 +90,12 @@ def main():
     for name, path in todo:
         model = build_model(name)
         params = load_params_npz(path, dtype=jnp.bfloat16)
-        fwd = jax.jit(lambda x, m=model: m.apply(params, x))
+        # params as a traced argument, NOT a closure constant: constants bloat
+        # the HLO (13M-param models) and defeat compile-cache reuse between
+        # snapshots of the same family (flagship appears twice in SNAPSHOTS).
+        fwd = jax.jit(lambda p, x, m=model: m.apply(p, x))
         out = evaluate_pairs(
-            lambda x: np.asarray(fwd(jnp.asarray(x, jnp.bfloat16))
+            lambda x: np.asarray(fwd(params, jnp.asarray(x, jnp.bfloat16))
                                  .astype(jnp.float32)),
             images, sigma=args.sigma, bucket=args.bucket)
         row = {"snapshot": os.path.basename(path), "model": name,

@@ -59,6 +59,10 @@ def main():
                          "resets; orbax experiment dirs do not")
     args = ap.parse_args()
 
+    from irdu_tpu.utils.profiling import enable_compile_cache
+
+    enable_compile_cache()
+
     from irdu_tpu.eval.harness import evaluate_pairs, load_benchmark_images
     from irdu_tpu.models.flagship import (
         AbstractMultiScaleGraphFilter,
