@@ -91,6 +91,12 @@ def main():
                          "pixel = the v6 MultiScaleSequenceDenoiser lineage; "
                          "boosting = the multiscale GLR boosting pyramid, "
                          "BASELINE.json config #2)")
+    ap.add_argument("--init-weights", default=None,
+                    help="npz snapshot to warm-start from at step 0 (an "
+                         "orbax resume, if present, wins over this) — use "
+                         "with --extra-steps + --schedule scaled to extend "
+                         "a committed 2050-step run past an environment "
+                         "reset that killed its orbax checkpoints")
     args = ap.parse_args()
     if args.model != "flagship" and args.root == "experiments/convergence_tpu":
         args.root = f"experiments/convergence_{args.model}"
@@ -258,15 +264,22 @@ def main():
             "weight": args.distill_weight,
             "dtype": "bfloat16",
         }
-    trainer = Trainer(config)
-    out = trainer.run()
-
-    # portable trained-weights artifact (utils/weights.py): bf16 npz small
-    # enough to commit, so the trained model survives environment resets
     import jax
     import jax.numpy as jnp
 
     from irdu_tpu.utils.weights import save_params_npz
+
+    trainer = Trainer(config)
+    if args.init_weights and int(trainer.state.step) == 0:
+        from irdu_tpu.utils.weights import load_params_npz
+
+        trainer.state = trainer.state.replace(
+            params=load_params_npz(args.init_weights, dtype=jnp.float32))
+        trainer.logger.info("warm-started from %s", args.init_weights)
+    out = trainer.run()
+
+    # portable trained-weights artifact (utils/weights.py): bf16 npz small
+    # enough to commit, so the trained model survives environment resets
 
     tag = args.tag or ("distill" if args.distill_from else "synthetic")
     export = os.path.join("artifacts", "weights",
