@@ -12,3 +12,9 @@ from irdu_tpu.parallel.spatial import (
     sharded_tiled_forward,
     tiled_forward,
 )
+from irdu_tpu.parallel.tensor import (
+    make_dp_tp_mesh,
+    param_shardings,
+    shard_train_state,
+    train_state_shardings,
+)

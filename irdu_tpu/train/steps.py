@@ -75,9 +75,15 @@ def make_train_step(
     loss03_weight: float = 0.5,
     latent_noise_std: float = 0.05,
     donate: bool = True,
+    state_shardings=None,
 ) -> Callable:
     """Build the jitted train step. With a mesh, inputs are expected
-    batch-sharded and the state replicated; XLA inserts the psum."""
+    batch-sharded and the state replicated; XLA inserts the psum.
+
+    state_shardings: optional TrainState-shaped pytree of NamedShardings
+    (parallel.tensor.train_state_shardings) for dp×tp/ep runs — params
+    and optimizer moments sharded over the "model" axis, batch over
+    "data"; GSPMD propagates and inserts the per-block all-reduces."""
 
     def step(state: TrainState, noisy, clean, rng):
         def loss_fn(params):
@@ -104,10 +110,11 @@ def make_train_step(
 
     repl = replicated_sharding(mesh)
     batch = batch_sharding(mesh)
+    state_sh = state_shardings if state_shardings is not None else repl
     return jax.jit(
         step,
-        in_shardings=(repl, batch, batch, repl),
-        out_shardings=(repl, repl),
+        in_shardings=(state_sh, batch, batch, repl),
+        out_shardings=(state_sh, repl),
         donate_argnums=(0,) if donate else (),
     )
 
@@ -123,6 +130,7 @@ def make_distill_train_step(
     loss03_weight: float = 0.5,
     latent_noise_std: float = 0.05,
     donate: bool = True,
+    state_shardings=None,
 ) -> Callable:
     """Train step with knowledge distillation from a frozen teacher.
 
@@ -174,10 +182,11 @@ def make_distill_train_step(
 
     repl = replicated_sharding(mesh)
     batch = batch_sharding(mesh)
+    state_sh = state_shardings if state_shardings is not None else repl
     return jax.jit(
         step,
-        in_shardings=(repl, repl, batch, batch, repl),
-        out_shardings=(repl, repl),
+        in_shardings=(state_sh, repl, batch, batch, repl),
+        out_shardings=(state_sh, repl),
         donate_argnums=(0,) if donate else (),
     )
 

@@ -76,10 +76,23 @@ class Trainer:
 
         par_conf = config.get("parallel", {})
         n_dp = par_conf.get("data_parallel", "auto")
+        n_tp = par_conf.get("tensor_parallel", 1)
         devices = jax.devices()
         if n_dp == "auto":
-            n_dp = len(devices)
-        self.mesh = make_mesh(devices[:n_dp]) if n_dp > 1 else None
+            n_dp = max(1, len(devices) // n_tp)
+        self._state_shardings = None
+        if n_tp > 1:
+            # dp×tp/ep 2-D mesh: gated-block hidden dims Megatron-sharded,
+            # solver graph hypotheses expert-sharded (parallel/tensor.py).
+            from irdu_tpu.parallel.tensor import (
+                check_tp_divisibility, make_dp_tp_mesh)
+
+            if hasattr(self.model, "hidden_dims"):
+                check_tp_divisibility(self.model, n_tp)
+            self.mesh = make_dp_tp_mesh(devices[: n_dp * n_tp], tp=n_tp)
+        else:
+            self.mesh = make_mesh(devices[:n_dp]) if n_dp > 1 else None
+        self._tp = n_tp
 
         tc = config["train"]
         schedule = build_schedule(tc.get("schedule", {"type": "flagship"}))
@@ -92,6 +105,12 @@ class Trainer:
         self.state = create_train_state(self.model, init_rng, example, schedule)
         n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(self.state.params))
         self.logger.info("Init model with total parameters: %d", n_params)
+        if self._tp > 1:
+            from irdu_tpu.parallel.tensor import (
+                shard_train_state, train_state_shardings)
+
+            self.state = shard_train_state(self.state, self.mesh)
+            self._state_shardings = train_state_shardings(self.state, self.mesh)
 
         distill = tc.get("distill")
         if distill:
@@ -123,6 +142,7 @@ class Trainer:
                 use_aux_losses=tc.get("use_aux_losses", True),
                 loss02_weight=tc.get("loss02_weight", 0.1),
                 loss03_weight=tc.get("loss03_weight", 0.5),
+                state_shardings=self._state_shardings,
             )
             self.train_step = (
                 lambda state, noisy, clean, rng: distill_step(
@@ -134,6 +154,7 @@ class Trainer:
                 use_aux_losses=tc.get("use_aux_losses", True),
                 loss02_weight=tc.get("loss02_weight", 0.1),
                 loss03_weight=tc.get("loss03_weight", 0.5),
+                state_shardings=self._state_shardings,
             )
 
         self.ckpt = CheckpointManager(
@@ -143,6 +164,10 @@ class Trainer:
         self.state, self.data_state = self.ckpt.restore(self.state)
         if self.data_state:
             self.logger.info("Resumed from step %d", int(self.state.step))
+            if self._tp > 1:
+                from irdu_tpu.parallel.tensor import shard_train_state
+
+                self.state = shard_train_state(self.state, self.mesh)
 
         self.verbose_rate = tc.get("verbose_rate", 100)
         self.ckpt_rate = tc.get("checkpoint_rate", 5000)
@@ -243,7 +268,7 @@ class Trainer:
                             float(np.mean(psnr_hist[-100:])),
                             float(np.mean(mse_hist[-100:])),
                         )
-                    if i % self.ckpt_rate == 0:
+                    if self.ckpt_rate and i % self.ckpt_rate == 0:
                         self.ckpt.save(i, self.state,
                                        {"epoch": epoch, "stage": stage_idx,
                                         "offset": offset})

@@ -134,6 +134,23 @@ def test_trainer_dp_mesh(corpus, tmp_path):
     assert out["step"] == 1
 
 
+def test_trainer_dp_tp_mesh(corpus, tmp_path):
+    """dp×tp trainer (parallel.tensor_parallel config key): 2×2 mesh,
+    gated hidden dims + solver graph hypotheses sharded over "model"."""
+    root, csv_path = corpus
+    conf = _config(root, csv_path, str(tmp_path), max_steps=1)
+    conf["name"] = "tiny_dp_tp"
+    conf["parallel"] = {"data_parallel": 2, "tensor_parallel": 2}
+    conf["train"]["stages"] = [{"patch_size": 32, "batch_size": 4, "max_num_patchs": 8}]
+    trainer = Trainer(conf)
+    # params must actually be distributed over the model axis
+    k = trainer.state.params["params"]["encoder_scale_00_0"]["local_linear"][
+        "channels_linear_op"]["kernel"]
+    assert k.shape[1] == 2 * k.addressable_shards[0].data.shape[1]
+    out = trainer.run()
+    assert out["step"] == 1
+
+
 def test_trainer_pixel_family(corpus, tmp_path):
     """The config-driven trainer also drives the pixel-domain lineage
     (multiscale_sequence_denoiser, no encode/decode API so aux losses
