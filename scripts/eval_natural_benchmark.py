@@ -25,6 +25,7 @@ import numpy as np
 
 SNAPSHOTS = [
     ("flagship", "artifacts/weights/flagship_synthetic_2050.npz"),
+    ("flagship", "artifacts/weights/flagship_ext_6050.npz"),
     ("flagship", "artifacts/weights/flagship_natural_ft.npz"),
     ("lite", "artifacts/weights/lite_synthetic_2050.npz"),
     ("micro", "artifacts/weights/micro_synthetic_2050.npz"),

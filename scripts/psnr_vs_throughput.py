@@ -52,6 +52,9 @@ def main():
                     choices=["flagship", "lite", "micro", "pixel"])
     ap.add_argument("--val-root", default="experiments/convergence_tpu",
                     help="where val.csv/val_images live (shared corpus)")
+    ap.add_argument("--sigma", type=float, default=25.0,
+                    help="eval noise level (match the snapshot's training "
+                         "sigma — e.g. flagship_synthetic_s15 at 15)")
     ap.add_argument("--weights", default=None,
                     help="npz weight snapshot (utils/weights.py) to eval "
                          "instead of the orbax checkpoint — the committed "
@@ -132,7 +135,7 @@ def main():
         out = evaluate_pairs(
             lambda x: np.asarray(fwd(jnp.asarray(x, jnp.bfloat16))
                                  .astype(jnp.float32)),
-            images, sigma=25.0, bucket=64)
+            images, sigma=args.sigma, bucket=64)
         t = marginal(lambda z, m=model: m.apply(params, z), xb)
         tag = args.model if k is None else f"{args.model}-cg{k}"
         rows.append({"variant": tag,

@@ -91,6 +91,13 @@ def main():
                          "pixel = the v6 MultiScaleSequenceDenoiser lineage; "
                          "boosting = the multiscale GLR boosting pyramid, "
                          "BASELINE.json config #2)")
+    ap.add_argument("--sigma", type=float, default=25.0,
+                    help="Gaussian noise level for the fixed-sigma "
+                         "(flagship-family) runs — the reference ships "
+                         "sigma 15/25/50 trainers (scripts_v2/run_abtract_"
+                         "lightformer_GGTV_GGLR_sigma{15,25,50}.py); the "
+                         "eval protocol uses the same sigma. Ignored by "
+                         "the vary-noise pixel/boosting runs.")
     ap.add_argument("--init-weights", default=None,
                     help="npz snapshot to warm-start from at step 0 (an "
                          "orbax resume, if present, wins over this) — use "
@@ -102,6 +109,12 @@ def main():
         args.root = f"experiments/convergence_{args.model}"
     if args.distill_from and args.root.startswith("experiments/convergence"):
         args.root += "_distill"
+    fixed_sigma = args.model in ("flagship", "lite", "micro")
+    if (fixed_sigma and args.sigma != 25.0
+            and args.root.startswith("experiments/convergence")):
+        # keep each noise level's orbax state separate so auto-resume
+        # never crosses sigmas
+        args.root += f"_s{args.sigma:g}"
 
     os.makedirs(args.root, exist_ok=True)
     build_corpus(args.root, extra_train=args.extra_train_images)
@@ -180,7 +193,7 @@ def main():
             "remat": True,
         }
         dist_mode = "addictive_noise_scale"
-        lambda_noise = 25.0
+        lambda_noise = float(args.sigma)
         use_aux = True
         stages = [
             {"patch_size": 128, "batch_size": 4, "max_num_patchs": 4800},
@@ -224,7 +237,7 @@ def main():
             }
         },
         "eval": {
-            "sigma": 25.0,
+            "sigma": float(args.sigma) if fixed_sigma else 25.0,
             "bucket": 64,
             "datasets": {
                 "synval": {
@@ -282,6 +295,8 @@ def main():
     # enough to commit, so the trained model survives environment resets
 
     tag = args.tag or ("distill" if args.distill_from else "synthetic")
+    if fixed_sigma and args.sigma != 25.0 and args.tag is None:
+        tag += f"_s{args.sigma:g}"
     export = os.path.join("artifacts", "weights",
                           f"{args.model}_{tag}_{out['step']}.npz")
     os.makedirs(os.path.dirname(export), exist_ok=True)
