@@ -59,6 +59,13 @@ from irdu_tpu.ops.pallas.solver_chw import (
     _wshift1,
 )
 
+# Planes above 512^2 need more scoped VMEM than the 100 MB the band
+# kernels request (768x1024 measured at 102.69 MB); 112 MB is proven safe
+# on v5e (the th=64 block stacks run at it — ops/pallas/block_stack.py).
+# Requested only for large planes so the <=512^2 HLO (and its persistent
+# compile-cache entries) stays byte-identical.
+_VMEM_LARGE = 112 * 1024 * 1024
+
 __all__ = ["gg_unroll_chw", "unroll_scal",
            "gg_pixel_unroll_chw", "pixel_unroll_scal"]
 
@@ -252,8 +259,9 @@ def gg_unroll_chw(y, w_gtv0, w_glr0, w_gtv1, w_glr1, pgtv0, pglr0,
 
     Shape requirements: H % 16 == 0 (half-res DMA sublanes), the padded
     W % 128 == 0, one (H, W) f32 plane + the per-graph weights must fit
-    VMEM (H·W ≤ 512² is safe on v5e — the caller falls back to the band
-    kernels above that).
+    VMEM (H·W ≤ 768·1024 measured safe on v5e at the 112 MB large-plane
+    limit — Kodak/Urban100-scale eval planes qualify; the caller falls
+    back to the band kernels above that, see solvers.gtv_glr._mega_ok).
     """
     b, c, h, w = y.shape
     g = n_graphs
@@ -296,7 +304,8 @@ def gg_unroll_chw(y, w_gtv0, w_glr0, w_gtv1, w_glr1, pgtv0, pglr0,
             _smem_spec(scal.shape),
         ],
         out_specs=plane_spec(),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM if h * w <= 512 * 512 else _VMEM_LARGE),
         interpret=interpret,
     )(yv, w_gtv0, w_glr0, w_gtv1, w_glr1, *ps, scal)
     if tw != w:
@@ -425,7 +434,8 @@ def gg_pixel_unroll_chw(y, w_gtv, w_glr, pgtv, pglr, scal, *, n_graphs,
         out_specs=pl.BlockSpec((1, 1, 1, h, w),
                                lambda bi, gi, fi: (bi, gi, fi, 0, 0),
                                memory_space=pltpu.VMEM),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM if h * w <= 512 * 512 else _VMEM_LARGE),
         interpret=interpret,
     )(yv, w_gtv, w_glr, *ps, scal)
     return out.reshape(b, g * f, h, w)

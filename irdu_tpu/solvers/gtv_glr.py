@@ -50,7 +50,7 @@ from irdu_tpu.solvers.common import GraphOpParams, const_init as _const_init
 
 # Whole-unroll kernel VMEM budget, as a plane-size bound (patchable in
 # tests to force the band-kernel route).
-_MEGA_MAX_PIXELS = 512 * 512
+_MEGA_MAX_PIXELS = 768 * 1024
 
 
 class MixtureGTVGLR(nn.Module):
@@ -187,13 +187,19 @@ class MixtureGTVGLR(nn.Module):
     def _mega_ok(shape) -> bool:
         """Whole-unroll kernel qualifier (ops/pallas/solver_unroll.py):
         one (H, W) f32 plane plus per-graph weights must fit VMEM
-        (H·W ≤ 512² measured safe on v5e's 128 MB). Widths that are not
-        128-multiples are lane-padded (full- and half-res operands),
-        masked in-kernel against the true width, and cropped on the way
-        out; W must be even (the in-solver 2× scale)."""
+        (H·W ≤ 768·1024 measured safe on v5e — planes above 512² request
+        the 112 MB large-plane limit, solver_unroll._VMEM_LARGE). The
+        max(H, Wp) ≤ 1024 guard bounds the in-kernel 0/1 resample
+        matrices (rd/ru are (H/2, H), cd/cu (W, W1P) — they grow with
+        the square of one extent, so an extreme-aspect plane could OOM
+        VMEM where 768×1024 fits). Widths that are not 128-multiples are
+        lane-padded (full- and half-res operands), masked in-kernel
+        against the true width, and cropped on the way out; W must be
+        even (the in-solver 2× scale)."""
         _, h, w, _ = shape
         wp = -(-w // 128) * 128
-        return h % 16 == 0 and w % 2 == 0 and h * wp <= _MEGA_MAX_PIXELS
+        return (h % 16 == 0 and w % 2 == 0 and h * wp <= _MEGA_MAX_PIXELS
+                and max(h, wp) <= 1024)
 
     def _forward_chw(self, patchs: jnp.ndarray,
                      chw_in: bool = False) -> jnp.ndarray:
