@@ -9,6 +9,8 @@ near-duplicate model files collapse into these + config):
   one_graph_filter                  — no-latent no-mixture ablation top
   glr_boosting_pyramid              — multiscale GLR boosting (2002 notebook)
   restormer / swinir / drunet / dncnn / ircnn / fdncnn — baselines
+  unet / resunet / unetres_subp / unetplus / nonlocal_unet — the rest of
+    the reference's DRUNet-family comparison zoo (network_unet.py)
 """
 
 from __future__ import annotations
@@ -70,12 +72,27 @@ def _ensure_builtin():
     except ImportError:
         pass
     try:
-        from irdu_tpu.baselines.drunet import DnCNN, FDnCNN, IRCNN, UNetRes
+        from irdu_tpu.baselines.drunet import (
+            DnCNN,
+            FDnCNN,
+            IRCNN,
+            NonLocalUNet,
+            ResUNet,
+            UNet,
+            UNetPlus,
+            UNetRes,
+            UNetResSubP,
+        )
 
         _REGISTRY["dncnn"] = DnCNN
         _REGISTRY["fdncnn"] = FDnCNN
         _REGISTRY["ircnn"] = IRCNN
         _REGISTRY["drunet"] = UNetRes
+        _REGISTRY["unet"] = UNet
+        _REGISTRY["resunet"] = ResUNet
+        _REGISTRY["unetres_subp"] = UNetResSubP
+        _REGISTRY["unetplus"] = UNetPlus
+        _REGISTRY["nonlocal_unet"] = NonLocalUNet
     except ImportError:
         pass
     try:
