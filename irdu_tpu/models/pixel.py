@@ -40,6 +40,10 @@ class MultiScaleSequenceDenoiser(nn.Module):
     n_node_fts: int = 3
     n_cnn_fts: int = 72
     window: str = "diamond12"
+    # "scalar" = v5-v8 stats stencils; "none" = the v4 no-stats core —
+    # n_graphs=16, n_cnn_fts=48, stats_mode="none" reproduces
+    # model_GLR_GTV_deep_v4.py:825-881 / scripts/run_lightformer_GTVGLR.py
+    stats_mode: str = "scalar"
     n_cgd_iters: int = 4
     muy_init: Sequence[float] = (0.1, 0.0, 0.0, 0.0)
     ro_init: Sequence[float] = (0.1, 0.0, 0.0, 0.0)
@@ -48,6 +52,7 @@ class MultiScaleSequenceDenoiser(nn.Module):
     # these to keep CPU compile time sane)
     feature_num_blocks: Sequence[int] = (2, 3, 3, 4)
     feature_num_refinement: int = 4
+    feature_n_levels: int = 3  # 4 = the v4 full-depth feature U-Net
     # inference-only fused CHW kernel path (see MixtureGTV.use_pallas_unroll)
     use_pallas_solver: bool = False
     # training-memory knob (see MixtureGTV.remat)
@@ -65,6 +70,7 @@ class MultiScaleSequenceDenoiser(nn.Module):
             n_node_fts=self.n_node_fts,
             n_cnn_fts=self.n_cnn_fts,
             window=self.window,
+            stats_mode=self.stats_mode,
             n_cgd_iters=self.n_cgd_iters,
             alpha_init=0.5,
             beta_init=0.1,
@@ -73,6 +79,7 @@ class MultiScaleSequenceDenoiser(nn.Module):
             gamma_init=self.gamma_init,
             feature_num_blocks=self.feature_num_blocks,
             feature_num_refinement=self.feature_num_refinement,
+            feature_n_levels=self.feature_n_levels,
             use_pallas_unroll=self.use_pallas_solver,
             remat=self.remat,
             name="mixtureGLR_block03",

@@ -120,11 +120,16 @@ class Upsample(nn.Module):
 
 
 class FeatureExtraction(nn.Module):
-    """3-level FFBlock U-Net producing edge-weight features (+DC channels)
-    for the pixel-domain mixture models (v6 FeatureExtraction, :195-272).
+    """FFBlock U-Net producing edge-weight features (+DC channels) for the
+    pixel-domain mixture models (v6 FeatureExtraction, :195-272).
 
     Note the asymmetric decode: level-1 decode runs at 2·dim (up2_1 output
-    concat with the level-1 skip, no channel reduction)."""
+    concat with the level-1 skip, no channel reduction).
+
+    n_levels: 3 = the v5+ truncated U-Net (v6 comments out level 4);
+    4 = the v4-era full Restormer depth (model_GLR_GTV_deep_v4.py:195-273:
+    down3_4 → latent FFBlocks at 8·dim → up4_3 → reduce_chan_level3 →
+    decoder_level3)."""
 
     out_channels: int = 48
     dim: int = 48
@@ -132,6 +137,7 @@ class FeatureExtraction(nn.Module):
     num_refinement_blocks: int = 4
     ffn_expansion_factor: float = 2.66
     use_bias: bool = False
+    n_levels: int = 3
     # training-memory knob: rematerialize each FFBlock in the backward
     # pass (same pattern as the flagship's per-LocalNonLinearBlock remat)
     # — the v6-scale pixel family exceeds 16 GB HBM at 256²+ patches
@@ -154,6 +160,17 @@ class FeatureExtraction(nn.Module):
         x = Downsample(d * 2, name="down2_3")(x)
         for i in range(self.num_blocks[2]):
             x = Block(d * 4, ff, name=f"encoder_level3_{i}")(x)
+
+        if self.n_levels == 4:  # v4 full depth
+            enc3 = x
+            x = Downsample(d * 4, name="down3_4")(x)
+            for i in range(self.num_blocks[3]):
+                x = Block(d * 8, ff, name=f"latent_{i}")(x)
+            x = Upsample(d * 8, name="up4_3")(x)
+            x = jnp.concatenate([x, enc3], axis=-1)
+            x = GroupedPointwise(features=d * 4, name="reduce_chan_level3")(x)
+            for i in range(self.num_blocks[2]):
+                x = Block(d * 4, ff, name=f"decoder_level3_{i}")(x)
 
         x = Upsample(d * 4, name="up3_2")(x)
         x = jnp.concatenate([x, enc2], axis=-1)

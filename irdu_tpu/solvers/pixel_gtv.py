@@ -52,6 +52,12 @@ class MixtureGTV(nn.Module):
     n_node_fts: int = 3
     n_cnn_fts: int = 72
     window: str = "diamond12"
+    # "scalar" = the v5-v8 scalar-coefficient stats stencils (v6:456);
+    # "none" = the v4/no-stats era core (model_GLR_GTV_deep_v4.py:275-472:
+    # GLR/GTVFast with arbitrary connection_window and NO stats conv) —
+    # with it this module reproduces scripts/run_lightformer_GTVGLR.py's
+    # model exactly (16 graphs, 48 cnn fts, diamond12, stats disabled).
+    stats_mode: str = "scalar"
     n_cgd_iters: int = 4
     alpha_init: float = 0.5
     beta_init: float = 0.1
@@ -60,6 +66,9 @@ class MixtureGTV(nn.Module):
     gamma_init: Sequence[float] = (0.001, 0.0, 0.0, 0.0)
     feature_num_blocks: Sequence[int] = (2, 3, 3, 4)
     feature_num_refinement: int = 4
+    # 3 = the v5+ truncated feature U-Net; 4 = the v4-era full Restormer
+    # depth (model_GLR_GTV_deep_v4.py:195-273)
+    feature_n_levels: int = 3
     ffn_expansion_factor: float = 2.6666
     # Inference fast path: run the unroll through the fused CHW Pallas
     # kernels (ops/pallas/solver_chw.py, generalized to the 12-edge
@@ -90,6 +99,7 @@ class MixtureGTV(nn.Module):
             num_blocks=self.feature_num_blocks,
             num_refinement_blocks=self.feature_num_refinement,
             ffn_expansion_factor=self.ffn_expansion_factor,
+            n_levels=self.feature_n_levels,
             remat=self.remat,
             name="patchs_features_extraction",
         )
@@ -104,8 +114,8 @@ class MixtureGTV(nn.Module):
         self.muys00 = self.param("muys00", const_init(float(self.muy_init[0])), (g,))
         self.gamma00 = self.param("gamma00", const_init(float(np.log(self.gamma_init[0]))), (g,))
 
-        self.gtv00 = GraphOpParams(g, self.n_node_fts, stats_mode="scalar", name="GTVmodule00")
-        self.glr00 = GraphOpParams(g, self.n_node_fts, stats_mode="scalar", name="GLRmodule00")
+        self.gtv00 = GraphOpParams(g, self.n_node_fts, stats_mode=self.stats_mode, name="GTVmodule00")
+        self.glr00 = GraphOpParams(g, self.n_node_fts, stats_mode=self.stats_mode, name="GLRmodule00")
 
     def _system_matvec(self, x, w_gtv, w_glr):
         """A = I + μ·GLR + ρ·GTV, single scale (v6:892-911)."""
@@ -244,7 +254,10 @@ class MixtureGTV(nn.Module):
         return combined + dc_term
 
     def __call__(self, patchs: jnp.ndarray) -> jnp.ndarray:
-        if self.use_pallas_unroll and self._chw_ok(patchs.shape):
+        # The fused CHW kernels implement the scalar-stats/reflect variant
+        # only; the no-stats (v4) core takes the jnp path.
+        if (self.use_pallas_unroll and self.stats_mode == "scalar"
+                and self._chw_ok(patchs.shape)):
             return self._forward_chw(patchs)
 
         b, h, w, c = patchs.shape

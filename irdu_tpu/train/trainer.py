@@ -169,6 +169,13 @@ class Trainer:
 
                 self.state = shard_train_state(self.state, self.mesh)
 
+        # Per-stage remat override (train.stages[i].remat): a 128^2 stage
+        # fits HBM without per-block remat at ~3.5x the step rate, while
+        # 192^2+ stages need it (PERF.md) — long runs put the bulk of their
+        # steps in a no-remat first stage. Cache of train steps per flag.
+        self._step_cache: dict[bool, Any] = {}
+        self._distilling = bool(distill)
+
         self.verbose_rate = tc.get("verbose_rate", 100)
         self.ckpt_rate = tc.get("checkpoint_rate", 5000)
         self.eval_rate = tc.get("eval_rate", 1000)
@@ -176,6 +183,32 @@ class Trainer:
         # periodic evals — a fresh closure per eval would retrace/recompile
         # the full model every time (ADVICE r1).
         self._eval_fwd = jax.jit(self.model.apply)
+
+    def _train_step_for(self, remat: bool | None):
+        """Train step honouring a stage's `remat` override. `None` (no
+        override) or a distillation run returns the default step; otherwise
+        a model variant with `remat` flipped is built once and its step
+        cached (params trees are identical across remat variants — the
+        wrapper only changes the autodiff graph, so state carries over)."""
+        if remat is None or self._distilling:
+            return self.train_step
+        key = bool(remat)
+        if key == bool(self.config["model"].get("remat", False)):
+            return self.train_step
+        if key not in self._step_cache:
+            mc = dict(self.config["model"])
+            mc["remat"] = key
+            model = create_model(mc.pop("type"), **mc)
+            tc = self.config["train"]
+            self._step_cache[key] = make_train_step(
+                model,
+                self.mesh,
+                use_aux_losses=tc.get("use_aux_losses", True),
+                loss02_weight=tc.get("loss02_weight", 0.1),
+                loss03_weight=tc.get("loss03_weight", 0.5),
+                state_shardings=self._state_shardings,
+            )
+        return self._step_cache[key]
 
     # -- data ------------------------------------------------------------
 
@@ -242,6 +275,7 @@ class Trainer:
                 if epoch == start_epoch and stage_idx < start_stage:
                     continue
                 ds = self._stage_dataset(stage, epoch)
+                step_fn = self._train_step_for(stage.get("remat"))
                 loader = batched_loader(ds, stage["batch_size"])
                 if self.mesh is not None:
                     loader = device_prefetch(loader, sharding=batch_sharding(self.mesh))
@@ -256,7 +290,7 @@ class Trainer:
                     offset += 1
                     t0 = time.time()
                     self.rng, step_rng = jax.random.split(self.rng)
-                    self.state, metrics = self.train_step(self.state, noisy, clean, step_rng)
+                    self.state, metrics = step_fn(self.state, noisy, clean, step_rng)
                     i += 1
                     if i % self.verbose_rate == 0:
                         m = jax.device_get(metrics)

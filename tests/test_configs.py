@@ -34,6 +34,8 @@ def test_config_matrix_covers_reference_scripts():
         "lightformer_pixel_sigma.yaml",
         # scripts/run_lightformer_GGTV_GGLR_multiblocks.py (v7, n_cnn_fts=128)
         "lightformer_pixel_multiblocks.yaml",
+        # scripts/run_lightformer_GTVGLR.py (v4 no-stats core, 16 graphs)
+        "lightformer_pixel_v4.yaml",
         # scripts/run_REstormer_sigma25.py
         "restormer_sigma25.yaml",
         # scripts/run_ablation_study_no_mixture.py
