@@ -50,6 +50,7 @@ def evaluate_pairs(
     save_tag: str = "LGU",
     dataset_name: str = "set",
     compute_ssim: bool = False,
+    masks: Sequence[np.ndarray | None] | None = None,
 ) -> dict:
     """Run the benchmark protocol over uint8 HWC images.
 
@@ -57,10 +58,14 @@ def evaluate_pairs(
     bucket: if set, additionally pad each image up to a multiple of
     `bucket` to bound the number of compiled shapes; output is cropped, so
     the metric is unchanged up to the model's boundary sensitivity.
+    masks: optional per-image boolean HxW arrays of SUSPECT pixels to
+    exclude from an additional "masked_psnr" metric (used by the natural
+    eval set to bound annotation-overlay contamination — VERDICT r2 #10).
+
     Returns {"psnr": [...], "mean_psnr": float, "seconds": [...]}.
     """
     rs = np.random.RandomState(seed=seed)
-    psnrs, times, ssims = [], [], []
+    psnrs, times, ssims, masked_psnrs = [], [], [], []
     pad_factor = bucket if bucket else factor
     if save_dir:
         os.makedirs(save_dir, exist_ok=True)
@@ -76,6 +81,10 @@ def evaluate_pairs(
         restored = np.clip(restored[:h, :w], 0.0, 1.0)
         restored_255 = img_as_ubyte(restored).astype(np.float32)
         psnrs.append(psnr_255(img_true_255, restored_255))
+        if masks is not None and masks[img_i] is not None:
+            keep = ~np.asarray(masks[img_i], bool)
+            masked_psnrs.append(
+                psnr_255(img_true_255[keep], restored_255[keep]))
         if compute_ssim:
             from irdu_tpu.eval.metrics import ssim_255
 
@@ -97,6 +106,9 @@ def evaluate_pairs(
         "mean_psnr": float(np.mean(psnrs)),
         "seconds": times,
     }
+    if masked_psnrs:
+        out["masked_psnr"] = masked_psnrs
+        out["mean_masked_psnr"] = float(np.mean(masked_psnrs))
     if compute_ssim:
         out["ssim"] = ssims
         out["mean_ssim"] = float(np.mean(ssims))

@@ -80,9 +80,28 @@ def main():
                         "--out", args.data], check=True)
     images = load_benchmark_images(os.path.join(args.data, "index.csv"),
                                    os.path.join(args.data, "images"))
-    noisy_psnr = evaluate_pairs(lambda x: x, images, sigma=args.sigma,
-                                bucket=args.bucket)["mean_psnr"]
-    print(json.dumps({"snapshot": "noisy-input", "psnr": noisy_psnr}),
+    # suspect-pixel masks (annotation-halo contamination bound, VERDICT r2
+    # #10): metrics are reported with AND without the suspect pixels; the
+    # difference bounds any overlay contamination of the recovered panels.
+    masks = None
+    mask_dir = os.path.join(args.data, "masks")
+    if os.path.isdir(mask_dir):
+        from PIL import Image
+
+        import csv as _csv
+        with open(os.path.join(args.data, "index.csv"), newline="") as fh:
+            names = [os.path.splitext(os.path.basename(r["path"]))[0]
+                     for r in _csv.DictReader(fh)]
+        masks = []
+        for stem in names:
+            p = os.path.join(mask_dir, stem.replace("_true", "_suspect") + ".png")
+            masks.append(np.asarray(Image.open(p)) > 127 if os.path.exists(p)
+                         else None)
+    noisy = evaluate_pairs(lambda x: x, images, sigma=args.sigma,
+                           bucket=args.bucket, masks=masks)
+    noisy_psnr = noisy["mean_psnr"]
+    print(json.dumps({"snapshot": "noisy-input", "psnr": noisy_psnr,
+                      "masked_psnr": noisy.get("mean_masked_psnr")}),
           flush=True)
 
     todo = ([(args.model, args.weights)] if args.weights
@@ -98,9 +117,11 @@ def main():
         out = evaluate_pairs(
             lambda x: np.asarray(fwd(params, jnp.asarray(x, jnp.bfloat16))
                                  .astype(jnp.float32)),
-            images, sigma=args.sigma, bucket=args.bucket)
+            images, sigma=args.sigma, bucket=args.bucket, masks=masks)
         row = {"snapshot": os.path.basename(path), "model": name,
                "psnr": out["mean_psnr"],
+               "psnr_std": float(np.std(out["psnr"])),
+               "masked_psnr": out.get("mean_masked_psnr"),
                "per_image": [round(p, 3) for p in out["psnr"]]}
         results.append(row)
         print(json.dumps(row), flush=True)

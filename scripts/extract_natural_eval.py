@@ -111,15 +111,45 @@ def main():
     img_dir = os.path.join(args.out, "images")
     os.makedirs(img_dir, exist_ok=True)
 
+    mask_dir = os.path.join(args.out, "masks")
+    os.makedirs(mask_dir, exist_ok=True)
+    import json
+
+    stats = {}
     for name in ("img01", "img02", "img03", "img04"):
         strip = np.asarray(
             Image.open(os.path.join(REF_DIR, f"{name}.png")).convert("RGB"))
         panel = last_panel(strip)
-        y0, x0, y1, x1 = max_clean_rect(overlay_mask(panel, INSETS[name]))
+        bad = overlay_mask(panel, INSETS[name])
+        y0, x0, y1, x1 = max_clean_rect(bad)
         crop = panel[y0:y1, x0:x1]
         Image.fromarray(crop).save(os.path.join(img_dir, f"{name}_true.png"))
+        # Contamination bound (VERDICT r2 #10): the crop contains ZERO
+        # overlay-mask pixels by the max_clean_rect construction (the mask
+        # already includes a 2-px anti-aliasing dilation). The residual
+        # risk is halo/aliasing BEYOND that dilation, so emit a SUSPECT
+        # mask: crop pixels within a further 4 px (chebyshev) of any
+        # masked panel pixel. Metrics excluding it ("masked_psnr") bound
+        # the contamination: |psnr − masked_psnr| is the measured effect.
+        grown = bad.copy()
+        for _ in range(4):
+            g2 = grown.copy()
+            g2[1:] |= grown[:-1]; g2[:-1] |= grown[1:]
+            g2[:, 1:] |= grown[:, :-1]; g2[:, :-1] |= grown[:, 1:]
+            grown = g2
+        suspect = grown[y0:y1, x0:x1]
+        assert not bad[y0:y1, x0:x1].any(), "clean rect contains mask pixels"
+        Image.fromarray((suspect * 255).astype(np.uint8)).save(
+            os.path.join(mask_dir, f"{name}_suspect.png"))
+        stats[name] = {
+            "crop": [int(crop.shape[0]), int(crop.shape[1])],
+            "suspect_fraction": float(suspect.mean()),
+        }
         print(f"{name}: panel {panel.shape[:2]} -> clean crop "
-              f"{crop.shape[0]}x{crop.shape[1]}")
+              f"{crop.shape[0]}x{crop.shape[1]}, suspect "
+              f"{suspect.mean():.4%}")
+    with open(os.path.join(args.out, "mask_stats.json"), "w") as fh:
+        json.dump(stats, fh, indent=1)
     n = build_image_index(img_dir, os.path.join(args.out, "index.csv"))
     print(f"wrote {n}-image index to {args.out}/index.csv")
 

@@ -49,7 +49,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", default="experiments/convergence_tpu")
     ap.add_argument("--model", default="flagship",
-                    choices=["flagship", "lite", "micro", "pixel"])
+                    choices=["flagship", "lite", "micro", "pixel",
+                             "restormer", "drunet", "dncnn"])
     ap.add_argument("--val-root", default="experiments/convergence_tpu",
                     help="where val.csv/val_images live (shared corpus)")
     ap.add_argument("--sigma", type=float, default=25.0,
@@ -77,10 +78,23 @@ def main():
     from irdu_tpu.train.schedules import flagship_lr_schedule
     from irdu_tpu.train.steps import create_train_state
 
-    cfg = (None if args.model == "pixel" else
+    BASELINES = {
+        # identical constructions to run_convergence_tpu.py's baseline
+        # branch (the benchmark-table training runs)
+        "restormer": ("restormer", {"norm_type": "BiasFree"}),
+        "drunet": ("drunet", {"in_nc": 3, "out_nc": 3}),
+        "dncnn": ("dncnn", {"in_nc": 3, "out_nc": 3, "nc": 64, "nb": 17,
+                            "act_mode": "R"}),
+    }
+    cfg = (None if args.model in ("pixel", *BASELINES) else
            {"flagship": flagship_config, "lite": flagship_lite_config,
             "micro": flagship_micro_config}[args.model]())
     def build(**variant_kw):
+        if args.model in BASELINES:
+            from irdu_tpu.models.registry import create_model
+
+            kind, kw = BASELINES[args.model]
+            return create_model(kind, **kw)
         if args.model == "pixel":
             # v6 reference scale; the fused solver measures slower for this
             # family at this scale (PERF.md), so the jnp default is the
@@ -128,7 +142,7 @@ def main():
                      jnp.bfloat16)
 
     rows = []
-    variants = ((None,) if args.model == "pixel" else (3, 2, 1))
+    variants = ((None,) if args.model in ("pixel", *BASELINES) else (3, 2, 1))
     for k in variants:
         model = build() if k is None else build(eval_cg_iters=k)
         fwd = jax.jit(lambda x, m=model: m.apply(params, x))

@@ -129,12 +129,18 @@ def main():
                     help="suffix for the exported npz (defaults to "
                          "'distill' when --distill-from is set)")
     ap.add_argument("--model", default="flagship",
-                    choices=["flagship", "lite", "micro", "pixel", "boosting"],
+                    choices=["flagship", "lite", "micro", "pixel", "boosting",
+                             "restormer", "drunet", "dncnn"],
                     help="member of the family to train (the lite/micro "
                          "FLOP-reduced configs feed the PSNR-vs-MP/s curve; "
                          "pixel = the v6 MultiScaleSequenceDenoiser lineage; "
                          "boosting = the multiscale GLR boosting pyramid, "
-                         "BASELINE.json config #2)")
+                         "BASELINE.json config #2; restormer/drunet/dncnn = "
+                         "the baseline zoo, trained under the identical "
+                         "budget/corpus for the cross-model benchmark table "
+                         "— the capability of the reference's missing "
+                         "2008-evaluate-models.ipynb and its "
+                         "run_REstormer_sigma25.py comparison)")
     ap.add_argument("--sigma", type=float, default=25.0,
                     help="Gaussian noise level for the fixed-sigma "
                          "(flagship-family) runs — the reference ships "
@@ -153,7 +159,8 @@ def main():
         args.root = f"experiments/convergence_{args.model}"
     if args.distill_from and args.root.startswith("experiments/convergence"):
         args.root += "_distill"
-    fixed_sigma = args.model in ("flagship", "lite", "micro")
+    fixed_sigma = args.model in ("flagship", "lite", "micro",
+                                 "restormer", "drunet", "dncnn")
     if (fixed_sigma and args.sigma != 25.0
             and args.root.startswith("experiments/convergence")):
         # keep each noise level's orbax state separate so auto-resume
@@ -227,20 +234,37 @@ def main():
         schedule = {"type": "multistep", "base_lr": 4.0e-4,
                     "milestones": [600, 1500, 1900], "gamma": 0.5}
     else:
-        mc = {"flagship": flagship_config, "lite": flagship_lite_config,
-              "micro": flagship_micro_config}[args.model]()
-        model_conf = {
-            "type": "abstract_multiscale_graph_filter",
-            "dims": list(mc["dims"]),
-            "hidden_dims": list(mc["hidden_dims"]),
-            "ngraphs": list(mc["ngraphs"]),
-            "num_blocks": list(mc["num_blocks"]),
-            "num_blocks_out": mc["num_blocks_out"],
-            "remat": True,
-        }
+        if args.model in ("restormer", "drunet", "dncnn"):
+            # The baseline zoo under the IDENTICAL training budget/corpus/
+            # schedule as the flagship family — feeds the cross-model
+            # benchmark table (VERDICT r2 #2; ref run_REstormer_sigma25.py:
+            # 118-129 for the Restormer config: dim 48, blocks [4,6,6,8],
+            # BiasFree norm). DRUNet = UNetRes(3→3, 64-512, nb=4); DnCNN
+            # uses act_mode "R" (no BN — the trainer state is params-only;
+            # the BN variant exists and is parity-tested, test_drunet_family).
+            model_conf = {
+                "restormer": {"type": "restormer", "norm_type": "BiasFree"},
+                "drunet": {"type": "drunet", "in_nc": 3, "out_nc": 3},
+                "dncnn": {"type": "dncnn", "in_nc": 3, "out_nc": 3,
+                          "nc": 64, "nb": 17, "act_mode": "R"},
+            }[args.model]
+        else:
+            mc = {"flagship": flagship_config, "lite": flagship_lite_config,
+                  "micro": flagship_micro_config}[args.model]()
+            model_conf = {
+                "type": "abstract_multiscale_graph_filter",
+                "dims": list(mc["dims"]),
+                "hidden_dims": list(mc["hidden_dims"]),
+                "ngraphs": list(mc["ngraphs"]),
+                "num_blocks": list(mc["num_blocks"]),
+                "num_blocks_out": mc["num_blocks_out"],
+                "remat": True,
+            }
         dist_mode = "addictive_noise_scale"
         lambda_noise = float(args.sigma)
-        use_aux = True
+        # the 3-term aux loss needs the encode/decode API (flagship family
+        # only); baselines train on plain L1
+        use_aux = args.model not in ("restormer", "drunet", "dncnn")
         counts = [1200, 400, 300, 150]
         if args.stage_steps:
             counts = [int(x) for x in args.stage_steps.split(",")]
