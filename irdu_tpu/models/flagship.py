@@ -54,6 +54,13 @@ class AbstractMultiScaleGraphFilter(nn.Module):
     # inference-time FLOP reduction: truncate each solver unroll after k CG
     # steps (3 = exact reference semantics; see MixtureGTVGLR.eval_cg_iters)
     eval_cg_iters: int = 3
+    # inference-time FLOP reduction #2 (NOT in the reference): apply the
+    # graph filtering only at these scales, identity elsewhere. None = all
+    # four (exact semantics). The scale-0 solve is the most expensive
+    # (3.9 ms of the 23.2 ms frame at 512² — PERF.md); dropping fine-scale
+    # filtering trades measured PSNR for throughput, the flagship-side
+    # analogue of the pixel family's hypothesis count.
+    eval_filter_scales: Sequence[int] | None = None
     # training-memory knob: rematerialize each encoder/decoder block and
     # each filtering block on the backward pass (jax.checkpoint via
     # nn.remat). Without it the flagship's 192²+ training stages exceed
@@ -211,8 +218,11 @@ class AbstractMultiScaleGraphFilter(nn.Module):
                     cur = (self.down_samples[s](x), False)
 
         if filtering:
+            keep = (self.eval_filter_scales if self.eval_filter_scales
+                    is not None else range(4))
             codes = [
-                (self.local_filters[s](as_chw(codes[s]), chw=True), True)
+                codes[s] if s not in keep
+                else (self.local_filters[s](as_chw(codes[s]), chw=True), True)
                 if codes[s][1]
                 else (self.local_filters[s](codes[s][0]), False)
                 for s in range(4)
@@ -245,8 +255,14 @@ class AbstractMultiScaleGraphFilter(nn.Module):
 
     def filtering(self, codes):
         """Per-scale unrolled graph filtering (reference filtering,
-        v1x0.py:1117-1131)."""
-        return tuple(self.local_filters[s](codes[s]) for s in range(4))
+        v1x0.py:1117-1131). `eval_filter_scales` skips scales at
+        inference (deployment knob, identity pass-through)."""
+        keep = (self.eval_filter_scales if self.eval_filter_scales
+                is not None else range(4))
+        return tuple(
+            self.local_filters[s](codes[s]) if s in keep else codes[s]
+            for s in range(4)
+        )
 
     def decode(self, codes):
         """Mirror decoder with skip-concat + 1×1 combine, refinement stack,

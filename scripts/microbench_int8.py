@@ -1,0 +1,167 @@
+"""Sub-bf16 lever, measured (VERDICT r2 #3).
+
+Three questions, answered with numbers on the real chip:
+
+1. What does int8×int8 actually buy on this MXU *through XLA*?
+   Marginal-method timing of `lax.dot_general(..., preferred_element_type
+   =int32)` vs the same shape in bf16, at the gated blocks' matmul shapes
+   (M = H·W rows, K = C, N = 2·hidden).
+
+2. What share of the frame is matmul at all? The fused block kernels are
+   VPU-FMA-bound (PERF.md): the 1×1 expand/project MACs ride the MXU in
+   ~70 µs/block while the depthwise/gate/norm VPU work takes ~0.6 ms —
+   int8 can only shave the MXU share. This script times a block's matmuls
+   standalone to pin that share.
+
+3. What does weight-int8 cost in quality? Symmetric per-output-channel
+   int8 quantization of every 1×1 kernel (expand + project + combine +
+   output head), dequantized to bf16 at load — PSNR delta on the val
+   protocol vs the bf16 snapshot.
+
+Usage (real TPU):
+  python scripts/microbench_int8.py              # matmul rates + block share
+  python scripts/microbench_int8.py --psnr       # + weight-int8 PSNR delta
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def marginal(fn, *args, n0=5, n1=55, reps=3):
+    def make(n):
+        @jax.jit
+        def chain(x, *rest):
+            def bd(c, _):
+                return fn(c, *rest), None
+            z, _ = jax.lax.scan(bd, x, None, length=n)
+            return z
+        return chain
+    out = []
+    for c in (make(n0), make(n1)):
+        c(*args).block_until_ready()
+        float(jnp.mean(c(*args).astype(jnp.float32)))
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(jnp.mean(c(*args).astype(jnp.float32)))
+            best = min(best, time.perf_counter() - t0)
+        out.append(best)
+    return (out[1] - out[0]) / (n1 - n0)
+
+
+def quantize_pointwise_int8(params, verbose=False):
+    """Symmetric per-output-channel int8 for every 2-D (1×1) kernel;
+    everything else untouched. Returns (params_bf16_dequant, report)."""
+    import jax.tree_util as jtu
+
+    n_q, bytes_q = 0, 0
+
+    def q(path, leaf):
+        nonlocal n_q, bytes_q
+        names = [str(getattr(k, "key", k)) for k in path]
+        if names[-1] == "kernel" and leaf.ndim == 2:
+            w = np.asarray(leaf, np.float32)
+            scale = np.abs(w).max(axis=0, keepdims=True) / 127.0
+            scale = np.where(scale == 0, 1.0, scale)
+            wq = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+            n_q += 1
+            bytes_q += wq.size
+            return jnp.asarray(wq.astype(np.float32) * scale, jnp.bfloat16)
+        return jnp.asarray(leaf, jnp.bfloat16)
+
+    out = jtu.tree_map_with_path(q, params)
+    return out, {"n_quantized_kernels": n_q, "int8_bytes": int(bytes_q)}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--psnr", action="store_true")
+    ap.add_argument("--weights",
+                    default="artifacts/weights/flagship_synthetic_2050.npz")
+    args = ap.parse_args()
+
+    from irdu_tpu.utils.profiling import enable_compile_cache
+
+    enable_compile_cache()
+    rows = []
+
+    # -- 1: raw matmul rates (gated-block shapes at 512², scales 0/1) ----
+    rng = np.random.RandomState(0)
+    for (m, k, n) in ((512 * 512, 48, 192), (256 * 256, 96, 384),
+                      (512 * 512, 192, 48)):
+        a8 = jnp.asarray(rng.randint(-127, 127, (m, k)), jnp.int8)
+        b8 = jnp.asarray(rng.randint(-127, 127, (k, n)), jnp.int8)
+        abf = jnp.asarray(rng.rand(m, k), jnp.bfloat16)
+        bbf = jnp.asarray(rng.rand(k, n), jnp.bfloat16)
+
+        t8 = marginal(lambda x, b: jax.lax.dot_general(
+            x, b, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32).astype(jnp.int8), a8, b8)
+        tbf = marginal(lambda x, b: jax.lax.dot_general(
+            x, b, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.bfloat16),
+            abf, bbf)
+        fl = 2 * m * k * n
+        rows.append({"shape": f"{m}x{k}x{n}",
+                     "int8_ms": t8 * 1e3, "bf16_ms": tbf * 1e3,
+                     "int8_tops": fl / t8 / 1e12,
+                     "bf16_tflops": fl / tbf / 1e12})
+        print(json.dumps(rows[-1]), flush=True)
+
+    # -- 2: matmul share of one gated block (expand+project only, bf16) --
+    h = w = 512
+    c, hid = 48, 96
+    x = jnp.asarray(rng.rand(h * w, c), jnp.bfloat16)
+    we = jnp.asarray(rng.rand(c, 2 * hid), jnp.bfloat16)
+    wp = jnp.asarray(rng.rand(hid, c), jnp.bfloat16)
+
+    def mm_only(x, we, wp):
+        y = x @ we
+        return (y[:, :hid] * y[:, hid:]) @ wp
+
+    t_mm = marginal(mm_only, x, we, wp)
+    rows.append({"block_matmuls_ms": t_mm * 1e3,
+                 "note": "vs ~0.61 ms/blk full fused block (PERF.md) — "
+                         "the VPU dw/gate/norm share is the rest"})
+    print(json.dumps(rows[-1]), flush=True)
+
+    if args.psnr:
+        from irdu_tpu.eval.harness import evaluate_pairs, load_benchmark_images
+        from irdu_tpu.models.flagship import (
+            AbstractMultiScaleGraphFilter, flagship_config)
+        from irdu_tpu.utils.weights import load_params_npz
+        from run_convergence_tpu import build_corpus
+        import os
+
+        root = "experiments/convergence_tpu"
+        os.makedirs(root, exist_ok=True)
+        build_corpus(root)
+        images = load_benchmark_images(os.path.join(root, "val.csv"),
+                                       os.path.join(root, "val_images"))
+        model = AbstractMultiScaleGraphFilter(
+            use_pallas_blocks=True, use_pallas_solver=True,
+            **flagship_config())
+        params = load_params_npz(args.weights, dtype=jnp.bfloat16)
+        pq, rep = quantize_pointwise_int8(params)
+        for tag, p in (("bf16", params), ("int8-weights", pq)):
+            fwd = jax.jit(lambda pp, xx, m=model: m.apply(pp, xx))
+            out = evaluate_pairs(
+                lambda xx: np.asarray(
+                    fwd(p, jnp.asarray(xx, jnp.bfloat16)).astype(jnp.float32)),
+                images, sigma=25.0, bucket=64)
+            rows.append({"variant": tag, "psnr": out["mean_psnr"], **(
+                rep if tag != "bf16" else {})})
+            print(json.dumps(rows[-1]), flush=True)
+
+    print(json.dumps(rows))
+
+
+if __name__ == "__main__":
+    main()

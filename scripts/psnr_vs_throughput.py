@@ -56,6 +56,11 @@ def main():
     ap.add_argument("--sigma", type=float, default=25.0,
                     help="eval noise level (match the snapshot's training "
                          "sigma — e.g. flagship_synthetic_s15 at 15)")
+    ap.add_argument("--filter-scales", default=None,
+                    help="comma list of scales to keep filtering at "
+                         "(e.g. '1,2,3' drops the scale-0 solve) — adds "
+                         "variants measuring the eval_filter_scales "
+                         "deployment knob on top of the cg sweep")
     ap.add_argument("--weights", default=None,
                     help="npz weight snapshot (utils/weights.py) to eval "
                          "instead of the orbax checkpoint — the committed "
@@ -142,9 +147,15 @@ def main():
                      jnp.bfloat16)
 
     rows = []
-    variants = ((None,) if args.model in ("pixel", *BASELINES) else (3, 2, 1))
-    for k in variants:
-        model = build() if k is None else build(eval_cg_iters=k)
+    variants = [(None, None)] if args.model in ("pixel", *BASELINES) else [
+        (3, None), (2, None), (1, None)]
+    if args.filter_scales and args.model not in ("pixel", *BASELINES):
+        fs = tuple(int(s) for s in args.filter_scales.split(","))
+        variants += [(3, fs), (1, fs)]
+    for k, fs in variants:
+        extra = {} if fs is None else {"eval_filter_scales": fs}
+        model = (build(**extra) if k is None
+                 else build(eval_cg_iters=k, **extra))
         fwd = jax.jit(lambda x, m=model: m.apply(params, x))
         out = evaluate_pairs(
             lambda x: np.asarray(fwd(jnp.asarray(x, jnp.bfloat16))
@@ -152,6 +163,8 @@ def main():
             images, sigma=args.sigma, bucket=64)
         t = marginal(lambda z, m=model: m.apply(params, z), xb)
         tag = args.model if k is None else f"{args.model}-cg{k}"
+        if fs is not None:
+            tag += "-fs" + "".join(str(s) for s in fs)
         rows.append({"variant": tag,
                      "psnr": out["mean_psnr"], "mp_per_s": 0.262144 / t})
         print(json.dumps(rows[-1]), flush=True)

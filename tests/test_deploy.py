@@ -7,6 +7,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # jax.export compiles the tiny flagship (cold-cache minutes)
+
 from irdu_tpu.deploy import export_forward, load_exported
 from irdu_tpu.models.flagship import AbstractMultiScaleGraphFilter
 

@@ -13,6 +13,8 @@ forward tractable while exercising every scale of the real model.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full 13.28M-model CPU jit (~10 min cold)
+
 from conftest import requires_reference
 
 import jax

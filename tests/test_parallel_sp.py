@@ -5,6 +5,9 @@ reference instead runs whole images through one GPU,
 scripts_v2/...sigma25.py:267-271)."""
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # 8-device-mesh jit compiles (multi-minute cold)
 
 import jax
 import jax.numpy as jnp

@@ -159,6 +159,7 @@ def test_tp_flagship_dims_forward_smoke():
     assert y.shape == x.shape and np.all(np.isfinite(y))
 
 
+@pytest.mark.slow  # dp×tp train-step compile on the CPU mesh (~10 min cold)
 def test_tp_loss_matches_single_device():
     """dp=4 × tp=2 over the 8 virtual CPU devices: one full train step
     (3-term loss, Adam) bit-comparable with the single-device step."""

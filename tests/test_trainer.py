@@ -59,6 +59,7 @@ def _config(root, csv_path, workroot, max_steps=4):
     }
 
 
+@pytest.mark.slow  # compiles a train step (CPU cold: minutes)
 def test_trainer_runs_and_resumes(corpus, tmp_path):
     root, csv_path = corpus
     conf = _config(root, csv_path, str(tmp_path))
@@ -79,6 +80,7 @@ def test_trainer_runs_and_resumes(corpus, tmp_path):
     assert out["step"] == 6
 
 
+@pytest.mark.slow  # compiles a train step (CPU cold: minutes)
 def test_trainer_resumes_multi_epoch(corpus, tmp_path):
     """Resume mid-epoch-1 must continue at epoch 1, not replay epoch 0
     (ADVICE r1: data_state now carries the epoch)."""
@@ -121,6 +123,7 @@ def test_checkpoint_restore_without_data_state(tmp_path):
     np.testing.assert_array_equal(np.asarray(restored.params["w"]), np.ones((2, 2)))
 
 
+@pytest.mark.slow  # compiles a train step (CPU cold: minutes)
 def test_trainer_dp_mesh(corpus, tmp_path):
     """Data-parallel trainer over the 8-device CPU mesh: one step, batch
     sharded, params replicated."""
@@ -134,6 +137,7 @@ def test_trainer_dp_mesh(corpus, tmp_path):
     assert out["step"] == 1
 
 
+@pytest.mark.slow  # compiles a train step (CPU cold: minutes)
 def test_trainer_dp_tp_mesh(corpus, tmp_path):
     """dp×tp trainer (parallel.tensor_parallel config key): 2×2 mesh,
     gated hidden dims + solver graph hypotheses sharded over "model"."""
@@ -151,6 +155,7 @@ def test_trainer_dp_tp_mesh(corpus, tmp_path):
     assert out["step"] == 1
 
 
+@pytest.mark.slow  # compiles a train step (CPU cold: minutes)
 def test_trainer_pixel_family(corpus, tmp_path):
     """The config-driven trainer also drives the pixel-domain lineage
     (multiscale_sequence_denoiser, no encode/decode API so aux losses
@@ -180,6 +185,7 @@ def test_trainer_pixel_family(corpus, tmp_path):
     assert out["step"] == 2
 
 
+@pytest.mark.slow  # compiles a train step (CPU cold: minutes)
 def test_trainer_distillation(corpus, tmp_path):
     """train.distill config: a frozen teacher (here: a random-init twin
     saved as an npz snapshot) adds the L1(student, teacher) term; the run
@@ -232,6 +238,7 @@ def test_flagship_schedule_values():
     np.testing.assert_allclose(float(ms(500_000)), 1.5e-4, rtol=1e-6)
 
 
+@pytest.mark.slow  # compiles a train step (CPU cold: minutes)
 def test_dp_loss_matches_single_device():
     """VERDICT r1 #9: the 8-device DP step must produce the same loss and
     updated params as the single-device step on identical data — the
