@@ -111,6 +111,9 @@ def main(argv=None):
     ap.add_argument("--size", type=int, default=512,
                     help="square input bucket (px, /16)")
     ap.add_argument("--cg-iters", type=int, default=3)
+    ap.add_argument("--filter-scales", default=None,
+                    help="comma list of scales to keep graph filtering at "
+                         "(deployment FLOP knob; default all four)")
     ap.add_argument("--output", required=True)
     args = ap.parse_args(argv)
 
@@ -122,7 +125,10 @@ def main(argv=None):
         raise SystemExit(f"no weight snapshot found for {args.model!r}")
     on_tpu = jax.default_backend() == "tpu"
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
-    model = build_model(args.model, fast=on_tpu, cg_iters=args.cg_iters)
+    fs = (None if args.filter_scales is None
+          else tuple(int(s) for s in args.filter_scales.split(",")))
+    model = build_model(args.model, fast=on_tpu, cg_iters=args.cg_iters,
+                        filter_scales=fs)
     params = load_params_npz(weights, dtype=dtype)
     blob = export_forward(model.apply, params, args.batch, args.size,
                           args.size, dtype=dtype, path=args.output)

@@ -30,7 +30,8 @@ import numpy as np
 _FAMILY = ("flagship", "lite", "micro", "pixel")
 
 
-def build_model(name: str, *, fast: bool, cg_iters: int = 3):
+def build_model(name: str, *, fast: bool, cg_iters: int = 3,
+                filter_scales=None):
     """One member of the trained family, inference-configured.
 
     fast=True enables the fused Pallas kernels — the TPU deployment path;
@@ -52,9 +53,11 @@ def build_model(name: str, *, fast: bool, cg_iters: int = 3):
 
     cfg = {"flagship": flagship_config, "lite": flagship_lite_config,
            "micro": flagship_micro_config}[name]()
+    extra = ({} if filter_scales is None
+             else {"eval_filter_scales": tuple(filter_scales)})
     return AbstractMultiScaleGraphFilter(
         use_pallas_blocks=fast, use_pallas_solver=fast,
-        eval_cg_iters=cg_iters, **cfg)
+        eval_cg_iters=cg_iters, **extra, **cfg)
 
 
 def default_weights(name: str) -> str | None:
