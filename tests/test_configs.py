@@ -28,6 +28,8 @@ def test_config_matrix_covers_reference_scripts():
     required = {
         # scripts_v2/run_abtract_lightformer_GGTV_GGLR_sigma{15,25,50}.py
         "flagship_sigma15.yaml", "flagship_sigma25.yaml", "flagship_sigma50.yaml",
+        # scripts/run_abtract_lightformer_GGTV_GGLR_sigma25.py (old 2-term loss)
+        "flagship_sigma25_2term.yaml",
         # scripts/run_abtract_lightformer_GGTV_GGLR_testing.py (dataloader_v3)
         "flagship_sigma25_testing.yaml",
         # scripts/run_lightformer_GGTV_GGLR_sigma*.py (pixel family)
