@@ -85,16 +85,30 @@ def sharded_tiled_forward(
 
     h, w = image.shape[:2]
     step = tile
-    padded = np.pad(
-        image, ((halo, halo + (-h) % step), (halo, halo + (-w) % step), (0, 0)),
-        mode="reflect",
-    )
-    tiles, coords = [], []
-    for i in range(math.ceil(h / step)):
-        for j in range(math.ceil(w / step)):
-            r0, c0 = i * step, j * step
-            tiles.append(padded[r0:r0 + tile + 2 * halo, c0:c0 + tile + 2 * halo])
-            coords.append((i * step, j * step))
+    # SHIFTED clamped windows (same trick as halo_shard_forward): every
+    # tile is the fixed size (tile + 2·halo) but boundary windows shift
+    # INWARD so the true image edge coincides with the tile edge — the
+    # model then applies its own boundary semantics (zero-pad convs,
+    # replicate graph ops) at the real edge, reproducing the whole-image
+    # result exactly there. Synthetic halo padding instead leaves an O(1)
+    # boundary band whatever the pad mode (measured: reflect 0.124, edge
+    # 0.042 max dev on the dryrun toy model); interior tile seams only
+    # rely on ≥halo real context (receptive-field decay).
+    ph, pw = (-h) % step, (-w) % step
+    padded = np.pad(image, ((0, ph), (0, pw), (0, 0)), mode="edge")
+    hh, ww = padded.shape[:2]
+    win_h = min(tile + 2 * halo, hh)
+    win_w = min(tile + 2 * halo, ww)
+    tiles, coords, offs = [], [], []
+    for i in range(hh // step):
+        r0 = i * step
+        rs = min(max(r0 - halo, 0), hh - win_h)
+        for j in range(ww // step):
+            c0 = j * step
+            cs = min(max(c0 - halo, 0), ww - win_w)
+            tiles.append(padded[rs:rs + win_h, cs:cs + win_w])
+            coords.append((r0, c0))
+            offs.append((r0 - rs, c0 - cs))
     n_dev = mesh.devices.size
     n_pad = (-len(tiles)) % n_dev
     tiles.extend([np.zeros_like(tiles[0])] * n_pad)
@@ -103,8 +117,8 @@ def sharded_tiled_forward(
     outs = np.asarray(jax.jit(apply_fn)(params, batch))
 
     result = np.zeros_like(image, dtype=np.float32)
-    for (r0, c0), o in zip(coords, outs):
-        core = o[halo:halo + step, halo:halo + step]
+    for (r0, c0), (ro, co), o in zip(coords, offs, outs):
+        core = o[ro:ro + step, co:co + step]
         r1, c1 = min(r0 + step, h), min(c0 + step, w)
         result[r0:r1, c0:c1] = core[: r1 - r0, : c1 - c0]
     return result

@@ -101,13 +101,23 @@ def main():
         abf = jnp.asarray(rng.rand(m, k), jnp.bfloat16)
         bbf = jnp.asarray(rng.rand(k, n), jnp.bfloat16)
 
-        t8 = marginal(lambda x, b: jax.lax.dot_general(
+        def fold(y, x):
+            """Shape-preserving data-dependent chain step: the scan carry
+            must keep x's shape, so fold the (m, n) product back into the
+            (m, k) carry (slice or zero-pad on the last dim)."""
+            kk = x.shape[1]
+            if y.shape[1] >= kk:
+                y = y[:, :kk]
+            else:
+                y = jnp.pad(y, ((0, 0), (0, kk - y.shape[1])))
+            return (x + y.astype(x.dtype)).astype(x.dtype)
+
+        t8 = marginal(lambda x, b: fold(jax.lax.dot_general(
             x, b, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32).astype(jnp.int8), a8, b8)
-        tbf = marginal(lambda x, b: jax.lax.dot_general(
+            preferred_element_type=jnp.int32), x), a8, b8)
+        tbf = marginal(lambda x, b: fold(jax.lax.dot_general(
             x, b, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(jnp.bfloat16),
-            abf, bbf)
+            preferred_element_type=jnp.float32), x), abf, bbf)
         fl = 2 * m * k * n
         rows.append({"shape": f"{m}x{k}x{n}",
                      "int8_ms": t8 * 1e3, "bf16_ms": tbf * 1e3,
