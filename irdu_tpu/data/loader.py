@@ -45,14 +45,25 @@ def batched_loader(
     drop_last: bool = True,
     indices: Iterable[int] | None = None,
     backend: str = "auto",
+    skip_batches: int = 0,
 ) -> Iterator[tuple[np.ndarray, np.ndarray]]:
     """Yield (noisy, clean) batches stacked on axis 0.
 
     One worker thread assembles batch k+1 while batch k is consumed (the
     assembly itself is parallel across items: C++ threads in the native
     backend, a GIL-releasing pool in the python one).
+
+    skip_batches: fast-forward the index stream by N batches WITHOUT
+    materializing them (mid-stage resume). Item content is a pure
+    function of (dataset seed, index) — dataset.py __getitem__ — so the
+    stream after an index-only skip is bit-identical to replaying; a
+    materializing replay costs full loader time (~0.2 s/batch measured),
+    which at a late resume point would be hours.
     """
     idx_iter = iter(indices) if indices is not None else iter(range(len(dataset)))
+    if skip_batches:
+        next(itertools.islice(idx_iter, skip_batches * batch_size,
+                              skip_batches * batch_size), None)
 
     use_native = backend == "native" or (
         backend == "auto"

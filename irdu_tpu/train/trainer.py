@@ -276,17 +276,20 @@ class Trainer:
                     continue
                 ds = self._stage_dataset(stage, epoch)
                 step_fn = self._train_step_for(stage.get("remat"))
-                loader = batched_loader(ds, stage["batch_size"])
+                # index-only fast-forward on resume: identical batches to a
+                # materializing replay (per-(seed,idx) item RNG) at zero
+                # loader cost — a late-stage resume would otherwise replay
+                # for hours (loader ~0.2 s/batch).
+                skip_here = (skip if (epoch == start_epoch
+                                      and stage_idx == start_stage) else 0)
+                loader = batched_loader(ds, stage["batch_size"],
+                                        skip_batches=skip_here)
                 if self.mesh is not None:
                     loader = device_prefetch(loader, sharding=batch_sharding(self.mesh))
                 else:
                     loader = device_prefetch(loader)
-                offset = 0
+                offset = skip_here
                 for noisy, clean in loader:
-                    if (epoch == start_epoch and stage_idx == start_stage
-                            and offset < skip):
-                        offset += 1
-                        continue
                     offset += 1
                     t0 = time.time()
                     self.rng, step_rng = jax.random.split(self.rng)

@@ -7,8 +7,10 @@
 set -x
 cd /root/repo
 
-# 1. bench.py (warms the driver's final-bench compile; headline metric)
+# 1. bench.py twice (warms the driver's final-bench compile; the second,
+#    warm run is the stability check — round-2 spread was <1.2%)
 timeout 2400 python bench.py
+timeout 1200 python bench.py
 
 # 2. Benchmark-table baselines at the identical 2050-step budget/corpus
 #    (VERDICT r2 #2). Each exports artifacts/weights/<model>_synthetic_2050.npz
@@ -34,12 +36,14 @@ timeout 3600 python scripts/microbench_int8.py --psnr \
 timeout 2400 python scripts/eval_natural_benchmark.py \
   --model flagship --weights artifacts/weights/flagship_50k_51000.npz
 
-# 6. Distillation with the real-budget teacher (VERDICT r2 #1 tail):
+# 6 (time-permitting). Distillation with the real-budget teacher:
 #    micro student, 2050-step budget, w=0.3 (the round-2 best)
-timeout 5400 python scripts/run_convergence_tpu.py --model micro \
-  --distill-from artifacts/weights/flagship_50k_51000.npz \
-  --distill-weight 0.3 --tag distill50k
-timeout 2400 python scripts/psnr_vs_throughput.py --model micro \
-  --weights artifacts/weights/micro_distill50k_2050.npz
+if [ "$1" = "--with-distill" ]; then
+  timeout 5400 python scripts/run_convergence_tpu.py --model micro \
+    --distill-from artifacts/weights/flagship_50k_51000.npz \
+    --distill-weight 0.3 --tag distill50k
+  timeout 2400 python scripts/psnr_vs_throughput.py --model micro \
+    --weights artifacts/weights/micro_distill50k_2050.npz
+fi
 
 echo POSTTRAIN-DONE

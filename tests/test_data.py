@@ -176,3 +176,23 @@ def test_ycbcr_roundtrip(rng):
         np.testing.assert_allclose(ycc, sk(rgb), atol=1e-6)
     except ImportError:
         pass
+
+
+def test_loader_skip_batches_matches_replay(corpus):
+    """Index-only fast-forward (batched_loader skip_batches — the trainer's
+    mid-stage resume path) must reproduce the replayed stream exactly."""
+    root, csv_path = corpus
+
+    def make():
+        return PatchDataset(
+            csv_path=csv_path, root_folder=root, patch_size=(32, 32),
+            max_num_patchs=12, dist_mode="addictive_noise_scale",
+            lambda_noise=25.0, use_data_aug=True, seed=9,
+        )
+
+    full = list(batched_loader(make(), batch_size=2))
+    skipped = list(batched_loader(make(), batch_size=2, skip_batches=3))
+    assert len(skipped) == len(full) - 3
+    for (n1, c1), (n2, c2) in zip(full[3:], skipped):
+        np.testing.assert_array_equal(n1, n2)
+        np.testing.assert_array_equal(c1, c2)
