@@ -148,7 +148,7 @@ def main():
 
     rows = []
     variants = [(None, None)] if args.model in ("pixel", *BASELINES) else [
-        (3, None), (2, None), (1, None)]
+        (3, None), (1, None)]  # cg2 measured == cg3 quality in r2 (free)
     if args.filter_scales and args.model not in ("pixel", *BASELINES):
         fs = tuple(int(s) for s in args.filter_scales.split(","))
         variants += [(3, fs), (1, fs)]

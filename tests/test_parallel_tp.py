@@ -97,9 +97,10 @@ def test_spec_rules_cover_real_flagship_tree():
 
 
 def _tp8_model(**kw):
-    """Tiny model whose sharded dims divide tp=8 (2·hidden and ngraphs)."""
+    """Tiny model whose sharded dims divide tp=8 (2·hidden and ngraphs) —
+    and whose dims divide ngraphs (C = G·F model validity)."""
     return AbstractMultiScaleGraphFilter(
-        dims=(8, 12, 16, 24), hidden_dims=(16, 24, 32, 48),
+        dims=(8, 16, 24, 32), hidden_dims=(16, 24, 32, 48),
         ngraphs=(8, 8, 8, 8), num_blocks=(1, 1, 1, 1), num_blocks_out=1,
         **kw)
 
