@@ -39,6 +39,13 @@ def build_model(name: str, *, fast: bool, cg_iters: int = 3,
     a TPU backend. The pixel family keeps the jnp path (measured faster
     for its 24-hypothesis v6 config — PERF.md)."""
     if name == "pixel":
+        # The pixel family has no scale-pruning / CG-iteration knobs — its
+        # solver is closed-form per level — so passing them is a config
+        # error, not something to silently drop (ADVICE r3 #3).
+        if filter_scales is not None or cg_iters != 3:
+            raise ValueError(
+                "--filter-scales/--cg-iters do not apply to the pixel "
+                "model (closed-form per-level solver); remove them")
         from irdu_tpu.models.pixel import MultiScaleSequenceDenoiser
 
         return MultiScaleSequenceDenoiser(

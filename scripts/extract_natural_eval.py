@@ -131,12 +131,16 @@ def main():
         # mask: crop pixels within a further 4 px (chebyshev) of any
         # masked panel pixel. Metrics excluding it ("masked_psnr") bound
         # the contamination: |psnr − masked_psnr| is the measured effect.
+        # 8-neighbourhood dilation so 4 iterations grow the mask by true
+        # Chebyshev distance 4 — a 4-neighbourhood pass grows by Manhattan
+        # distance and lets diagonal halo pixels escape (ADVICE r3 #2).
         grown = bad.copy()
         for _ in range(4):
             g2 = grown.copy()
             g2[1:] |= grown[:-1]; g2[:-1] |= grown[1:]
-            g2[:, 1:] |= grown[:, :-1]; g2[:, :-1] |= grown[:, 1:]
-            grown = g2
+            g3 = g2.copy()
+            g3[:, 1:] |= g2[:, :-1]; g3[:, :-1] |= g2[:, 1:]
+            grown = g3
         suspect = grown[y0:y1, x0:x1]
         assert not bad[y0:y1, x0:x1].any(), "clean rect contains mask pixels"
         Image.fromarray((suspect * 255).astype(np.uint8)).save(
