@@ -125,16 +125,23 @@ class Restormer(nn.Module):
     use_bias: bool = False
     norm_type: str = "WithBias"
     dual_pixel_task: bool = False
+    # training-memory knob: rematerialize per transformer block — the
+    # 26M-param model's backward exceeds 16 GB HBM at 256²·b2+ stages
+    # without it (same knob as the flagship family). Param names are
+    # unchanged (nn.remat preserves module naming), so weight bridges and
+    # snapshots are remat-agnostic.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, inp_img):
         d = self.dim
+        Block = nn.remat(TransformerBlock) if self.remat else TransformerBlock
 
         def blocks(x, dim, heads, n, scope):
             for i in range(n):
-                x = TransformerBlock(dim, heads, self.ffn_expansion_factor,
-                                     self.use_bias, self.norm_type,
-                                     name=f"{scope}_{i}")(x)
+                x = Block(dim, heads, self.ffn_expansion_factor,
+                          self.use_bias, self.norm_type,
+                          name=f"{scope}_{i}")(x)
             return x
 
         def down(x, n_feat, scope):

@@ -36,6 +36,15 @@ from irdu_tpu.utils.seeding import set_random_seed
 
 def build_schedule(conf: dict):
     kind = conf.get("type", "flagship")
+    # `step_offset` shifts the whole scheme: a run warm-started from a
+    # step-S snapshot (whose orbax state died with an environment reset)
+    # continues the reference LR trajectory at step S instead of
+    # restarting at the 4e-4 head (VERDICT r3 #5 continuation runs).
+    off = int(conf.get("step_offset", 0))
+    if off:
+        inner = build_schedule({k: v for k, v in conf.items()
+                                if k != "step_offset"})
+        return lambda step: inner(step + off)
     if kind == "flagship":
         return flagship_lr_schedule()
     if kind == "multistep":

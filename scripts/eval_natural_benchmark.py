@@ -26,16 +26,35 @@ import numpy as np
 SNAPSHOTS = [
     ("flagship", "artifacts/weights/flagship_synthetic_2050.npz"),
     ("flagship", "artifacts/weights/flagship_ext_6050.npz"),
+    ("flagship", "artifacts/weights/flagship_50k_51000.npz"),
     ("flagship", "artifacts/weights/flagship_natural_ft.npz"),
     ("lite", "artifacts/weights/lite_synthetic_2050.npz"),
     ("micro", "artifacts/weights/micro_synthetic_2050.npz"),
     ("micro", "artifacts/weights/micro_distill03_2050.npz"),
     ("pixel", "artifacts/weights/pixel_synthetic_2050.npz"),
     ("boosting", "artifacts/weights/boosting_synthetic_2050.npz"),
+    # benchmark-table baselines, trained under the identical 2050-step
+    # budget/corpus (VERDICT r3 #1)
+    ("drunet", "artifacts/weights/drunet_synthetic_2050.npz"),
+    ("dncnn", "artifacts/weights/dncnn_synthetic_2050.npz"),
+    ("restormer", "artifacts/weights/restormer_synthetic_2050.npz"),
 ]
+
+# identical constructions to run_convergence_tpu.py's baseline branch
+BASELINES = {
+    "restormer": ("restormer", {"norm_type": "BiasFree"}),
+    "drunet": ("drunet", {"in_nc": 3, "out_nc": 3}),
+    "dncnn": ("dncnn", {"in_nc": 3, "out_nc": 3, "nc": 64, "nb": 17,
+                        "act_mode": "R"}),
+}
 
 
 def build_model(name: str):
+    if name in BASELINES:
+        from irdu_tpu.models.registry import create_model
+
+        kind, kw = BASELINES[name]
+        return create_model(kind, **kw)
     if name == "pixel":
         from irdu_tpu.models.pixel import MultiScaleSequenceDenoiser
 
@@ -72,6 +91,12 @@ def main():
     ap.add_argument("--bucket", type=int, default=64)
     ap.add_argument("--model", default=None)
     ap.add_argument("--weights", default=None)
+    ap.add_argument("--out", default=None,
+                    help="jsonl to write (full sweep rewrites it so every "
+                         "row carries the masked metric; a single "
+                         "--weights run appends one row). Default: "
+                         "<data>/results_sigma{sigma:g}.jsonl for the "
+                         "full sweep, no file for single runs.")
     args = ap.parse_args()
 
     enable_compile_cache()
@@ -127,6 +152,21 @@ def main():
         print(json.dumps(row), flush=True)
     print(json.dumps({"sigma": args.sigma, "noisy": noisy_psnr,
                       "results": results}))
+
+    out_path = args.out
+    if out_path is None and not args.weights:
+        out_path = os.path.join(args.data,
+                                f"results_sigma{args.sigma:g}.jsonl")
+    if out_path:
+        mode = "a" if args.weights else "w"
+        with open(out_path, mode) as fh:
+            if mode == "w":
+                fh.write(json.dumps(
+                    {"snapshot": "noisy-input", "psnr": noisy_psnr,
+                     "masked_psnr": noisy.get("mean_masked_psnr")}) + "\n")
+            for row in results:
+                fh.write(json.dumps(row) + "\n")
+        print(f"wrote {len(results)} row(s) -> {out_path}", flush=True)
 
 
 if __name__ == "__main__":

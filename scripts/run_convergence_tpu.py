@@ -148,6 +148,13 @@ def main():
                          "lightformer_GGTV_GGLR_sigma{15,25,50}.py); the "
                          "eval protocol uses the same sigma. Ignored by "
                          "the vary-noise pixel/boosting runs.")
+    ap.add_argument("--lr-step-offset", type=int, default=0,
+                    help="shift the LR scheme by N steps — use with "
+                         "--init-weights to CONTINUE a step-N run's "
+                         "reference LR trajectory after an environment "
+                         "reset killed its orbax state (e.g. 51000 to "
+                         "resume the 51k flagship past the first "
+                         "x0.5^0.25 milestone)")
     ap.add_argument("--init-weights", default=None,
                     help="npz snapshot to warm-start from at step 0 (an "
                          "orbax resume, if present, wins over this) — use "
@@ -243,7 +250,8 @@ def main():
             # uses act_mode "R" (no BN — the trainer state is params-only;
             # the BN variant exists and is parity-tested, test_drunet_family).
             model_conf = {
-                "restormer": {"type": "restormer", "norm_type": "BiasFree"},
+                "restormer": {"type": "restormer", "norm_type": "BiasFree",
+                              "remat": True},
                 "drunet": {"type": "drunet", "in_nc": 3, "out_nc": 3},
                 "dncnn": {"type": "dncnn", "in_nc": 3, "out_nc": 3,
                           "nc": 64, "nb": 17, "act_mode": "R"},
@@ -294,6 +302,8 @@ def main():
             }
         else:
             schedule = {"type": "flagship"}
+    if args.lr_step_offset:
+        schedule = dict(schedule, step_offset=args.lr_step_offset)
     config = {
         "name": os.path.basename(args.root),
         "task": "denoise",

@@ -238,6 +238,19 @@ def test_flagship_schedule_values():
     np.testing.assert_allclose(float(ms(500_000)), 1.5e-4, rtol=1e-6)
 
 
+def test_schedule_step_offset():
+    """`step_offset` continues the reference trajectory after a
+    warm-started run restarts the optimizer count at 0 (VERDICT r3 #5)."""
+    from irdu_tpu.train.trainer import build_schedule
+
+    plain = build_schedule({"type": "flagship"})
+    shifted = build_schedule({"type": "flagship", "step_offset": 51_000})
+    np.testing.assert_allclose(float(shifted(0)), float(plain(51_000)),
+                               rtol=1e-6)
+    np.testing.assert_allclose(float(shifted(99_000)), float(plain(150_000)),
+                               rtol=1e-6)
+
+
 @pytest.mark.slow  # compiles a train step (CPU cold: minutes)
 def test_dp_loss_matches_single_device():
     """VERDICT r1 #9: the 8-device DP step must produce the same loss and
