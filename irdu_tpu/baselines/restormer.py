@@ -75,6 +75,10 @@ class MDTA(nn.Module):
         attn = jax.nn.softmax(attn, axis=-1)
         out = jnp.einsum("bhcd,bhdn->bhcn", attn, v,
                          preferred_element_type=jnp.float32)
+        # attention accumulates in f32; return to the residual stream's
+        # dtype so the bf16 inference path stays bf16 end-to-end (strict
+        # conv dtypes downstream)
+        out = out.astype(x.dtype)
         out = out.transpose(0, 3, 1, 2).reshape(b, h, w, c)
         return GroupedPointwise(features=c, use_bias=self.use_bias,
                                 name="project_out")(out)
