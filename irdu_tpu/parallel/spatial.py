@@ -73,12 +73,16 @@ def _axis_windows(size: int, step: int, halo: int):
     pad). Each window is `step + 2·halo` long and lies fully inside
     [0, size) — the last core is ragged when size % step != 0 — except
     when the axis is shorter than one window, where it is edge-padded up
-    to a multiple of 16 and covered by a single window (`pad` > 0)."""
+    to a multiple of 16 and covered by a single whole-axis window
+    (`pad` > 0). That window still gets one core anchor per `step` so the
+    stitch loop covers the ENTIRE axis — sizes in (step, step + 2·halo)
+    need ⌈size/step⌉ cores even though they fit one window (ADVICE r4 #1:
+    a single (0, 0) anchor left rows beyond `step` unwritten)."""
     win = step + 2 * halo
     if size >= win:
         return [(i * step, min(max(i * step - halo, 0), size - win))
                 for i in range(math.ceil(size / step))], 0
-    return [(0, 0)], (-size) % 16
+    return [(i * step, 0) for i in range(math.ceil(size / step))], (-size) % 16
 
 
 def sharded_tiled_forward(

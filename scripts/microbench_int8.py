@@ -35,6 +35,14 @@ import numpy as np
 
 
 def marginal(fn, *args, n0=5, n1=55, reps=3):
+    """Paired-scan marginal per-iteration time, with a resolution guard.
+
+    Returns (seconds_per_iter, resolved). At tiny shapes the chain-length
+    delta can sit INSIDE the rep-to-rep jitter of the tunnel dispatch —
+    the raw slope is then noise and can even come out negative (VERDICT
+    r4 weak #6: r4 published `bf16_ms: -0.023`). `resolved` is False when
+    the measured delta doesn't clear 2× the observed jitter; callers must
+    floor the value at 0 and flag the row instead of printing noise."""
     def make(n):
         @jax.jit
         def chain(x, *rest):
@@ -43,17 +51,20 @@ def marginal(fn, *args, n0=5, n1=55, reps=3):
             z, _ = jax.lax.scan(bd, x, None, length=n)
             return z
         return chain
-    out = []
+    out, spread = [], []
     for c in (make(n0), make(n1)):
         c(*args).block_until_ready()
         float(jnp.mean(c(*args).astype(jnp.float32)))
-        best = float("inf")
+        times = []
         for _ in range(reps):
             t0 = time.perf_counter()
             float(jnp.mean(c(*args).astype(jnp.float32)))
-            best = min(best, time.perf_counter() - t0)
-        out.append(best)
-    return (out[1] - out[0]) / (n1 - n0)
+            times.append(time.perf_counter() - t0)
+        out.append(min(times))
+        spread.append(max(times) - min(times))
+    delta = out[1] - out[0]
+    resolved = delta > 2 * max(spread) and delta > 0
+    return delta / (n1 - n0), resolved
 
 
 def quantize_pointwise_int8(params, verbose=False):
@@ -112,17 +123,19 @@ def main():
                 y = jnp.pad(y, ((0, 0), (0, kk - y.shape[1])))
             return (x + y.astype(x.dtype)).astype(x.dtype)
 
-        t8 = marginal(lambda x, b: fold(jax.lax.dot_general(
+        t8, ok8 = marginal(lambda x, b: fold(jax.lax.dot_general(
             x, b, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32), x), a8, b8)
-        tbf = marginal(lambda x, b: fold(jax.lax.dot_general(
+        tbf, okbf = marginal(lambda x, b: fold(jax.lax.dot_general(
             x, b, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32), x), abf, bbf)
         fl = 2 * m * k * n
+        t8f, tbff = max(t8, 0.0), max(tbf, 0.0)
         rows.append({"shape": f"{m}x{k}x{n}",
-                     "int8_ms": t8 * 1e3, "bf16_ms": tbf * 1e3,
-                     "int8_tops": fl / t8 / 1e12,
-                     "bf16_tflops": fl / tbf / 1e12})
+                     "int8_ms": t8f * 1e3, "bf16_ms": tbff * 1e3,
+                     "int8_tops": fl / t8 / 1e12 if ok8 else None,
+                     "bf16_tflops": fl / tbf / 1e12 if okbf else None,
+                     "below_noise_floor": not (ok8 and okbf)})
         print(json.dumps(rows[-1]), flush=True)
 
     # -- 2: matmul share of one gated block (expand+project only, bf16) --
@@ -136,8 +149,9 @@ def main():
         y = x @ we
         return (y[:, :hid] * y[:, hid:]) @ wp
 
-    t_mm = marginal(mm_only, x, we, wp)
-    rows.append({"block_matmuls_ms": t_mm * 1e3,
+    t_mm, ok_mm = marginal(mm_only, x, we, wp)
+    rows.append({"block_matmuls_ms": max(t_mm, 0.0) * 1e3,
+                 "below_noise_floor": not ok_mm,
                  "note": "vs ~0.61 ms/blk full fused block (PERF.md) — "
                          "the VPU dw/gate/norm share is the rest"})
     print(json.dumps(rows[-1]), flush=True)
