@@ -135,14 +135,20 @@ class RSTB(nn.Module):
     num_heads: int
     window_size: int = 8
     mlp_ratio: float = 2.0
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, h, w, attn_mask):
         b, n, c = x.shape
         res = x
+        # per-block rematerialization: like the Restormer (PERF.md round-4
+        # stability note), the 36-block backward OOMs 16 GB HBM at the
+        # larger progressive-patch stages without it
+        block_cls = nn.remat(SwinBlock, static_argnums=(2, 3)) if self.remat \
+            else SwinBlock
         for i in range(self.depth):
             ss = 0 if i % 2 == 0 else self.window_size // 2
-            x = SwinBlock(self.dim, self.num_heads, self.window_size, ss,
+            x = block_cls(self.dim, self.num_heads, self.window_size, ss,
                           self.mlp_ratio, name=f"block_{i}")(x, h, w, attn_mask)
         x = x.reshape(b, h, w, c)
         x = Conv3x3Zero(features=self.dim, use_bias=True, name="conv")(x)

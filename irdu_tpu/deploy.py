@@ -34,17 +34,48 @@ _MAGIC = b"IRDU1"
 
 
 def export_forward(apply_fn, params, batch: int, height: int, width: int,
-                   *, dtype=jnp.bfloat16, path: str | None = None) -> bytes:
+                   *, dtype=jnp.bfloat16, path: str | None = None,
+                   pointwise_int8: bool = False) -> bytes:
     """Export `apply_fn(params, x)` with `params` baked in, for input
     shape (batch, height, width, 3) of `dtype`. Returns the serialized
-    bytes (and writes them to `path` if given)."""
+    bytes (and writes them to `path` if given).
+
+    pointwise_int8: bake every 2-D (1×1) kernel as int8 constants + a
+    per-output-channel dequant multiply INSIDE the program — the
+    serialized artifact then carries int8 payloads (~4× smaller for the
+    pointwise-dominated flagship) at measured-zero quality cost
+    (PERF.md round-4 deployment levers)."""
     if height % 16 or width % 16:
         raise ValueError("export shapes must be /16 (the model's resample "
                          f"factor); got {height}x{width}")
-    params = jax.tree_util.tree_map(lambda a: jnp.asarray(a, dtype), params)
+    if pointwise_int8:
+        from irdu_tpu.utils.weights import (
+            dequantize_pointwise,
+            quantize_pointwise_int8,
+        )
 
-    def fwd(x):
-        return apply_fn(params, x)
+        qtree = quantize_pointwise_int8(params)
+
+        def cast_rest(node):
+            # non-quantized leaves ride at `dtype` so the artifact doesn't
+            # carry f32 constants; {__q8__, __q8scale__} markers stay put
+            if isinstance(node, dict):
+                if "__q8__" in node:
+                    return node
+                return {k: cast_rest(v) for k, v in node.items()}
+            return np.asarray(node, dtype)
+
+        qtree = cast_rest(qtree)
+
+        def fwd(x):
+            p = dequantize_pointwise(qtree, dtype=dtype, asarray=jnp.asarray)
+            return apply_fn(p, x)
+    else:
+        params = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, dtype), params)
+
+        def fwd(x):
+            return apply_fn(params, x)
 
     spec = jax.ShapeDtypeStruct((batch, height, width, 3), dtype)
     exported = jax_export.export(jax.jit(fwd))(spec)
@@ -114,6 +145,10 @@ def main(argv=None):
     ap.add_argument("--filter-scales", default=None,
                     help="comma list of scales to keep graph filtering at "
                          "(deployment FLOP knob; default all four)")
+    ap.add_argument("--weight-int8", action="store_true",
+                    help="bake 1x1 kernels as int8 + dequant into the "
+                         "artifact (~4x smaller; measured quality-free on "
+                         "the 51k flagship — PERF.md round-4)")
     ap.add_argument("--output", required=True)
     args = ap.parse_args(argv)
 
@@ -129,12 +164,15 @@ def main(argv=None):
           else tuple(int(s) for s in args.filter_scales.split(",")))
     model = build_model(args.model, fast=on_tpu, cg_iters=args.cg_iters,
                         filter_scales=fs)
-    params = load_params_npz(weights, dtype=dtype)
+    params = load_params_npz(weights,
+                             dtype=None if args.weight_int8 else dtype)
     blob = export_forward(model.apply, params, args.batch, args.size,
-                          args.size, dtype=dtype, path=args.output)
+                          args.size, dtype=dtype, path=args.output,
+                          pointwise_int8=args.weight_int8)
     print(json.dumps({
         "artifact": args.output, "bytes": len(blob),
         "model": args.model, "weights": weights,
+        "weight_int8": bool(args.weight_int8),
         "input": [args.batch, args.size, args.size, 3],
         "dtype": str(np.dtype(dtype)), "backend": jax.default_backend(),
     }))

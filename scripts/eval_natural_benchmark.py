@@ -38,6 +38,9 @@ SNAPSHOTS = [
     ("drunet", "artifacts/weights/drunet_synthetic_2050.npz"),
     ("dncnn", "artifacts/weights/dncnn_synthetic_2050.npz"),
     ("restormer", "artifacts/weights/restormer_synthetic_2050.npz"),
+    ("swinir", "artifacts/weights/swinir_synthetic_2050.npz"),
+    # round-5 additions (skipped until the snapshots exist)
+    ("flagship", "artifacts/weights/flagship_cont100k_35000.npz"),
 ]
 
 # identical constructions to run_convergence_tpu.py's baseline branch
@@ -46,6 +49,7 @@ BASELINES = {
     "drunet": ("drunet", {"in_nc": 3, "out_nc": 3}),
     "dncnn": ("dncnn", {"in_nc": 3, "out_nc": 3, "nc": 64, "nb": 17,
                         "act_mode": "R"}),
+    "swinir": ("swinir", {}),
 }
 
 

@@ -50,7 +50,7 @@ def main():
     ap.add_argument("--root", default="experiments/convergence_tpu")
     ap.add_argument("--model", default="flagship",
                     choices=["flagship", "lite", "micro", "pixel",
-                             "restormer", "drunet", "dncnn"])
+                             "restormer", "swinir", "drunet", "dncnn"])
     ap.add_argument("--val-root", default="experiments/convergence_tpu",
                     help="where val.csv/val_images live (shared corpus)")
     ap.add_argument("--sigma", type=float, default=25.0,
@@ -90,6 +90,7 @@ def main():
         "drunet": ("drunet", {"in_nc": 3, "out_nc": 3}),
         "dncnn": ("dncnn", {"in_nc": 3, "out_nc": 3, "nc": 64, "nb": 17,
                             "act_mode": "R"}),
+        "swinir": ("swinir", {}),
     }
     cfg = (None if args.model in ("pixel", *BASELINES) else
            {"flagship": flagship_config, "lite": flagship_lite_config,

@@ -130,7 +130,7 @@ def main():
                          "'distill' when --distill-from is set)")
     ap.add_argument("--model", default="flagship",
                     choices=["flagship", "lite", "micro", "pixel", "boosting",
-                             "restormer", "drunet", "dncnn"],
+                             "restormer", "swinir", "drunet", "dncnn"],
                     help="member of the family to train (the lite/micro "
                          "FLOP-reduced configs feed the PSNR-vs-MP/s curve; "
                          "pixel = the v6 MultiScaleSequenceDenoiser lineage; "
@@ -167,7 +167,7 @@ def main():
     if args.distill_from and args.root.startswith("experiments/convergence"):
         args.root += "_distill"
     fixed_sigma = args.model in ("flagship", "lite", "micro",
-                                 "restormer", "drunet", "dncnn")
+                                 "restormer", "swinir", "drunet", "dncnn")
     if (fixed_sigma and args.sigma != 25.0
             and args.root.startswith("experiments/convergence")):
         # keep each noise level's orbax state separate so auto-resume
@@ -241,7 +241,7 @@ def main():
         schedule = {"type": "multistep", "base_lr": 4.0e-4,
                     "milestones": [600, 1500, 1900], "gamma": 0.5}
     else:
-        if args.model in ("restormer", "drunet", "dncnn"):
+        if args.model in ("restormer", "swinir", "drunet", "dncnn"):
             # The baseline zoo under the IDENTICAL training budget/corpus/
             # schedule as the flagship family — feeds the cross-model
             # benchmark table (VERDICT r2 #2; ref run_REstormer_sigma25.py:
@@ -252,6 +252,12 @@ def main():
             model_conf = {
                 "restormer": {"type": "restormer", "norm_type": "BiasFree",
                               "remat": True},
+                # the reference's SwinIR eval config (baselineSwinSR.py:618
+                # instantiated in 2007-GGTV-GGLR-explore.ipynb cell 46):
+                # depths 6x[6], embed 180, heads 6, window 8, mlp 2; never
+                # trained upstream -- trained here at the shared table
+                # budget (VERDICT r4 #3)
+                "swinir": {"type": "swinir", "remat": True},
                 "drunet": {"type": "drunet", "in_nc": 3, "out_nc": 3},
                 "dncnn": {"type": "dncnn", "in_nc": 3, "out_nc": 3,
                           "nc": 64, "nb": 17, "act_mode": "R"},
@@ -272,7 +278,7 @@ def main():
         lambda_noise = float(args.sigma)
         # the 3-term aux loss needs the encode/decode API (flagship family
         # only); baselines train on plain L1
-        use_aux = args.model not in ("restormer", "drunet", "dncnn")
+        use_aux = args.model not in ("restormer", "swinir", "drunet", "dncnn")
         counts = [1200, 400, 300, 150]
         if args.stage_steps:
             counts = [int(x) for x in args.stage_steps.split(",")]
