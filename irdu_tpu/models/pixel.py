@@ -55,6 +55,9 @@ class MultiScaleSequenceDenoiser(nn.Module):
     feature_n_levels: int = 3  # 4 = the v4 full-depth feature U-Net
     # inference-only fused CHW kernel path (see MixtureGTV.use_pallas_unroll)
     use_pallas_solver: bool = False
+    # NHWC lane-packed fused unroll (see MixtureGTV.use_nhwc_unroll —
+    # VERDICT r4 #4); wins the precedence over the CHW path
+    use_nhwc_solver: bool = False
     # training-memory knob (see MixtureGTV.remat)
     remat: bool = False
 
@@ -81,6 +84,7 @@ class MultiScaleSequenceDenoiser(nn.Module):
             feature_num_refinement=self.feature_num_refinement,
             feature_n_levels=self.feature_n_levels,
             use_pallas_unroll=self.use_pallas_solver,
+            use_nhwc_unroll=self.use_nhwc_solver,
             remat=self.remat,
             name="mixtureGLR_block03",
         )(patchs)

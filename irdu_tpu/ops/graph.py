@@ -287,6 +287,34 @@ def extract_edge_weights_flat(
     return tuple(jnp.repeat(e / den, f, axis=-1) for e in exps)
 
 
+def extract_edge_weights_packed(
+    feats: jnp.ndarray,
+    multi_m: jnp.ndarray,
+    deltas: Deltas,
+    n_graphs: int,
+) -> jnp.ndarray:
+    """`extract_edge_weights` packed for the NHWC lane-packed kernels
+    (ops/pallas/pixel_nhwc.py): ONE (B,H,W,E·G) array of the softmaxed
+    per-(pixel, graph) weights, edge-major on lanes, NOT repeated over the
+    F node features — the kernels broadcast per edge with a static
+    lane-tile, so HBM carries 1/F of the flat form's weight bytes."""
+    b, h, w, c = feats.shape
+    f = c // n_graphs
+    fg = _split_gf(feats, n_graphs)
+    norm = jnp.sqrt(jnp.sum(fg * fg, axis=-1, keepdims=True))
+    t = ((fg / jnp.maximum(norm, _NORMALIZE_EPS)) * multi_m).reshape(b, h, w, c)
+    sims = []
+    for dh, dw in deltas:
+        prod = t * shift2d(t, dh, dw)
+        sims.append(jnp.sum(prod.reshape(b, h, w, n_graphs, f), axis=-1))
+    mx = sims[0]
+    for s in sims[1:]:
+        mx = jnp.maximum(mx, s)
+    exps = [jnp.exp(s - mx) for s in sims]
+    den = sum(exps)
+    return jnp.concatenate([e / den for e in exps], axis=-1)
+
+
 def op_l_norm_flat(x: jnp.ndarray, wf: FlatWeights, deltas: Deltas) -> jnp.ndarray:
     """Flat `op_l_norm`: x − Σ_e w_e ⊙ shift_e(x)."""
     acc = None

@@ -75,6 +75,12 @@ class MixtureGTV(nn.Module):
     # diamond window + reflect stats padding). Shapes that don't qualify
     # fall back to the jnp path; the jnp path stays authoritative.
     use_pallas_unroll: bool = False
+    # NHWC lane-packed fused unroll (ops/pallas/pixel_nhwc.py — VERDICT
+    # r4 #4): all G hypotheses ride the lane axis per program, 6 fused
+    # segment kernels per forward. Takes precedence over the CHW path
+    # when the shape qualifies; jnp path stays authoritative.
+    use_nhwc_unroll: bool = False
+    nhwc_tile_h: int = 16
     # training-memory knob: rematerialize the feature U-Net per FFBlock
     # and the solver unroll per segment (init-RHS / CG round / rethresh)
     # — without it the v6-scale backward exceeds 16 GB HBM at 256²+
@@ -262,9 +268,67 @@ class MixtureGTV(nn.Module):
         combined = jnp.sum(out_g * score[..., None], axis=3)
         return combined + dc_term
 
+    def _forward_nhwc(self, patchs: jnp.ndarray) -> jnp.ndarray:
+        """The same unroll through the NHWC lane-packed fused segment
+        kernels (ops/pallas/pixel_nhwc.py). Signals run in PLANAR channel
+        order c = f·G + g inside the kernels; conversion happens here
+        (ỹ replication and the final (F, G) split are layout-free)."""
+        from irdu_tpu.ops.pallas.pixel_nhwc import pixel_unroll_nhwc
+
+        b, h, w, _ = patchs.shape
+        g, f = self.n_graphs, self.n_node_fts
+        d = tuple(tuple(x) for x in self.deltas)
+        interp = jax.default_backend() != "tpu"
+
+        feats = self.features(patchs)
+        ew_feats = feats[..., : self.n_total_fts]
+        dc_feats = feats[..., self.n_total_fts:]
+        dc_term = self.dc_estimator(dc_feats)
+        y_tilde = patchs - dc_term
+
+        from irdu_tpu.ops.graph import extract_edge_weights_packed
+
+        w_gtv = extract_edge_weights_packed(
+            ew_feats, self.gtv00.multi_m, d, g).astype(patchs.dtype)
+        w_glr = extract_edge_weights_packed(
+            ew_feats, self.glr00.multi_m, d, g).astype(patchs.dtype)
+
+        # planar ỹ: channel c = f·G + g  ⇒  repeat each image channel G×
+        y72 = jnp.repeat(y_tilde, g, axis=-1)
+
+        def p4(s):
+            return jnp.concatenate(
+                [s["p01"], s["p02a"], s["p02b"], s["p03"]])
+
+        p = jnp.stack([p4(self.gtv00.stats), p4(self.glr00.stats)])
+        scal = {
+            "mu": jnp.tile(self.muys00, f),
+            "ro": jnp.tile(self.ro00, f),
+            "gamma": jnp.tile(jnp.exp(self.gamma00), f),
+            "alpha": jnp.tile(self.alpha_cgd, (1, f)),
+            "beta": jnp.tile(self.beta_cgd, (1, f)),
+        }
+        out = pixel_unroll_nhwc(
+            y72, w_gtv, w_glr, p, scal, n_graphs=g, deltas=d,
+            tile_h=self.nhwc_tile_h, interpret=interp)
+
+        logits = self.combination_weight(ew_feats)
+        score = jax.nn.softmax(logits, axis=-1)
+        out_fg = out.reshape(b, h, w, f, g)
+        combined = jnp.einsum("bhwfg,bhwg->bhwf", out_fg,
+                              score.astype(out_fg.dtype))
+        return combined + dc_term
+
+    def _nhwc_ok(self, shape) -> bool:
+        _, h, w, _ = shape
+        return h % self.nhwc_tile_h == 0 and w % 128 == 0
+
     def __call__(self, patchs: jnp.ndarray) -> jnp.ndarray:
-        # The fused CHW kernels implement the scalar-stats/reflect variant
+        # The fused kernels implement the scalar-stats/reflect variant
         # only; the no-stats (v4) core takes the jnp path.
+        if (self.use_nhwc_unroll and self.stats_mode == "scalar"
+                and self._nhwc_ok(patchs.shape)):
+            return self._forward_nhwc(patchs)
         if (self.use_pallas_unroll and self.stats_mode == "scalar"
                 and self._chw_ok(patchs.shape)):
             return self._forward_chw(patchs)
