@@ -165,6 +165,7 @@ class SwinIR(nn.Module):
     num_heads: Sequence[int] = (6, 6, 6, 6, 6, 6)
     window_size: int = 8
     mlp_ratio: float = 2.0
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -182,6 +183,7 @@ class SwinIR(nn.Module):
         attn_mask = make_shift_mask(h, w, ws, ws // 2)
         for li, (depth, heads) in enumerate(zip(self.depths, self.num_heads)):
             tokens = RSTB(self.embed_dim, depth, heads, ws, self.mlp_ratio,
+                          remat=self.remat,
                           name=f"layers_{li}")(tokens, h, w, attn_mask)
         tokens = nn.LayerNorm(epsilon=1e-5, name="norm")(tokens)
         body = tokens.reshape(b, h, w, self.embed_dim)

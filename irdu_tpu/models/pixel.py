@@ -60,6 +60,8 @@ class MultiScaleSequenceDenoiser(nn.Module):
     use_nhwc_solver: bool = False
     # training-memory knob (see MixtureGTV.remat)
     remat: bool = False
+    # accounting probe (see MixtureGTV.eval_skip_solve)
+    eval_skip_solve: bool = False
 
     @nn.compact
     def __call__(self, patchs: jnp.ndarray) -> jnp.ndarray:
@@ -86,6 +88,7 @@ class MultiScaleSequenceDenoiser(nn.Module):
             use_pallas_unroll=self.use_pallas_solver,
             use_nhwc_unroll=self.use_nhwc_solver,
             remat=self.remat,
+            eval_skip_solve=self.eval_skip_solve,
             name="mixtureGLR_block03",
         )(patchs)
         return sw[0] * patchs + sw[1] * y

@@ -256,12 +256,12 @@ def _kernel(x_ref, xt_ref, xb_ref, aux_ref, prev_ref,
     if mode == "cg1":
         res = -ax_m_x  # rhs − A·rhs with x == rhs
         upd = res
-    else:  # cg2
+        upd_ref[0] = upd.astype(upd_ref.dtype)
+    else:  # cg2 — the round's last step; its update feeds nothing
         beta = scal_ref[4].astype(_F32)
         res = aux_ref[0].astype(_F32) - xc - ax_m_x
         upd = res + beta * prev_ref[0].astype(_F32)
     out_ref[0] = (xc + alpha * upd).astype(out_ref.dtype)
-    upd_ref[0] = upd.astype(upd_ref.dtype)
 
 
 def _halos(x, tile_h, halo):
@@ -334,7 +334,7 @@ def pixel_segment_nhwc(x, aux, prev, w_gtv, w_glr, w_halos, p, scal, *,
         wglrh_spec = _halo_spec(RADIUS_W, w, eg)
 
     out_shapes = [jax.ShapeDtypeStruct((b, h, w, c), x.dtype)]
-    if mode in ("cg1", "cg2"):
+    if mode == "cg1":
         out_shapes.append(jax.ShapeDtypeStruct((b, h, w, c), x.dtype))
     out_specs = [_body_spec(tile_h, w, c)] * len(out_shapes)
 

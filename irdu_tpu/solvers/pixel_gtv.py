@@ -81,6 +81,11 @@ class MixtureGTV(nn.Module):
     # when the shape qualifies; jnp path stays authoritative.
     use_nhwc_unroll: bool = False
     nhwc_tile_h: int = 16
+    # accounting probe (scripts/microbench_pixel.py --variants features):
+    # skip the unrolled solve at COMPILE time, leaving feature U-Net +
+    # DC estimator + combination — the frame's non-solver share. Not a
+    # deployment knob; quality is meaningless with it set.
+    eval_skip_solve: bool = False
     # training-memory knob: rematerialize the feature U-Net per FFBlock
     # and the solver unroll per segment (init-RHS / CG round / rethresh)
     # — without it the v6-scale backward exceeds 16 GB HBM at 256²+
@@ -324,6 +329,15 @@ class MixtureGTV(nn.Module):
         return h % self.nhwc_tile_h == 0 and w % 128 == 0
 
     def __call__(self, patchs: jnp.ndarray) -> jnp.ndarray:
+        if self.eval_skip_solve:
+            b, h, w, _ = patchs.shape
+            g = self.n_graphs
+            feats = self.features(patchs)
+            ew_feats = feats[..., : self.n_total_fts]
+            dc_term = self.dc_estimator(feats[..., self.n_total_fts:])
+            score = jax.nn.softmax(self.combination_weight(ew_feats), axis=-1)
+            y = (patchs - dc_term)[..., None, :] * score[..., None]
+            return jnp.sum(y, axis=3) + dc_term
         # The fused kernels implement the scalar-stats/reflect variant
         # only; the no-stats (v4) core takes the jnp path.
         if (self.use_nhwc_unroll and self.stats_mode == "scalar"

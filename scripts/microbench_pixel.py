@@ -43,19 +43,36 @@ def marginal(fn, x, n0=3, n1=13, reps=3):
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variants", default="jnp,nhwc",
+                    help="comma list of jnp | chw | nhwc | features "
+                         "('features' = the feature U-Net + DC head alone "
+                         "via a 0-weight solve — the per-piece accounting "
+                         "for VERDICT r4 #4)")
+    ap.add_argument("--tile-h", type=int, default=16)
+    args = ap.parse_args()
+
     rng = np.random.RandomState(0)
     x32 = jnp.asarray(rng.rand(1, 512, 512, 3).astype(np.float32))
     x = x32.astype(jnp.bfloat16)
     rows = []
     params = None
-    for pallas in (False, True):
-        model = MultiScaleSequenceDenoiser(use_pallas_solver=pallas)
+    for variant in args.variants.split(","):
+        kw = {"jnp": {}, "chw": {"use_pallas_solver": True},
+              "nhwc": {"use_nhwc_solver": True},
+              "features": {"eval_skip_solve": True}}[variant]
+        model = MultiScaleSequenceDenoiser(**kw)
         if params is None:
-            params = jax.jit(model.init)(jax.random.PRNGKey(0), x32)
+            # always init the PLAIN model so the param tree is the full
+            # one (eval_skip_solve never touches the solver submodules)
+            params = jax.jit(MultiScaleSequenceDenoiser().init)(
+                jax.random.PRNGKey(0), x32)
             params = jax.tree_util.tree_map(
                 lambda a: a.astype(jnp.bfloat16), params)
-        t = marginal(lambda z, m=model: m.apply(params, z), x)
-        row = {"model": "pixel_v6", "pallas_solver": pallas,
+        t = marginal(lambda z, m=model, p=params: m.apply(p, z), x)
+        row = {"model": "pixel_v6", "variant": variant,
                "ms_per_call": round(t * 1e3, 2),
                "mp_per_s": round(0.262144 / t, 2)}
         rows.append(row)

@@ -91,7 +91,8 @@ def test_export_pointwise_int8_artifact_smaller(tmp_path):
             y = x.reshape(b, h * w, c)
             y = nn.Dense(256, name="d1")(y)
             y = nn.gelu(y)
-            y = nn.Dense(c, name="d2")(y)
+            y = nn.Dense(256, name="dmid")(y)  # 64k params so weight bytes
+            y = nn.Dense(c, name="d2")(y)      # dominate serialization
             return y.reshape(b, h, w, c)
 
     model = PointwiseHeavy()
