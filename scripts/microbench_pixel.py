@@ -75,6 +75,11 @@ def main():
         row = {"model": "pixel_v6", "variant": variant,
                "ms_per_call": round(t * 1e3, 2),
                "mp_per_s": round(0.262144 / t, 2)}
+        if variant != "jnp" and "jnp" in args.variants:
+            ref = jax.jit(MultiScaleSequenceDenoiser().apply)(params, x)
+            got = jax.jit(model.apply)(params, x)
+            row["max_dev_vs_jnp"] = float(jnp.max(jnp.abs(
+                got.astype(jnp.float32) - ref.astype(jnp.float32))))
         rows.append(row)
         print(json.dumps(row), flush=True)
     print(json.dumps(rows))

@@ -54,4 +54,36 @@ timeout 7200 python scripts/run_convergence_tpu.py --model swinir \
   --schedule scaled --root experiments/convergence_swinir \
   2>&1 | tee artifacts/convergence_tpu/train_swinir.log
 
+# 7) table rows for the new baseline runs
+timeout 2700 python scripts/psnr_vs_throughput.py --model dncnn \
+  --weights $W/dncnn_ext_6150.npz \
+  2>&1 | tee artifacts/round5_eval/curve_dncnn_ext.log
+timeout 2700 python scripts/eval_natural_benchmark.py --model dncnn \
+  --weights $W/dncnn_ext_6150.npz \
+  --out artifacts/natural_eval/results_sigma25.jsonl \
+  2>&1 | tee artifacts/round5_eval/nat_dncnn_ext.log
+timeout 3600 python scripts/psnr_vs_throughput.py --model swinir \
+  --weights $W/swinir_synthetic_2050.npz \
+  2>&1 | tee artifacts/round5_eval/curve_swinir.log
+timeout 2700 python scripts/eval_natural_benchmark.py --model swinir \
+  --weights $W/swinir_synthetic_2050.npz \
+  --out artifacts/natural_eval/results_sigma25.jsonl \
+  2>&1 | tee artifacts/round5_eval/nat_swinir.log
+
+# 8) STRETCH — restormer continued to the flagship-ext 6050-class budget
+#    (equal-budget frontier pairing, VERDICT r4 weak #2); warm-start +
+#    scaled (annealing) schedule per the round-4 stability finding
+timeout 10800 python scripts/run_convergence_tpu.py --model restormer \
+  --init-weights $W/restormer_synthetic_2050.npz \
+  --stage-steps 2400,800,600,250 --schedule scaled --tag ext6050 \
+  --root experiments/convergence_restormer_ext \
+  2>&1 | tee artifacts/convergence_tpu/train_restormer_ext.log
+timeout 2700 python scripts/psnr_vs_throughput.py --model restormer \
+  --weights $W/restormer_ext6050_4050.npz \
+  2>&1 | tee artifacts/round5_eval/curve_restormer_ext.log
+timeout 2700 python scripts/eval_natural_benchmark.py --model restormer \
+  --weights $W/restormer_ext6050_4050.npz \
+  --out artifacts/natural_eval/results_sigma25.jsonl \
+  2>&1 | tee artifacts/round5_eval/nat_restormer_ext.log
+
 echo ROUND5_POSTTRAIN_DONE
