@@ -95,6 +95,11 @@ def main():
     ap.add_argument("--model", default=None)
     ap.add_argument("--weights", default=None)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--snapshots", default=None,
+                    help="comma list of snapshot basename substrings to "
+                         "keep from the sweep (each distinct model costs "
+                         "one compile — trim to the table models when "
+                         "compile budget is tight)")
     args = ap.parse_args()
 
     enable_compile_cache()
@@ -114,6 +119,10 @@ def main():
 
     todo = ([(args.model, args.weights)] if args.weights
             else [s for s in SNAPSHOTS if os.path.exists(s[1])])
+    if args.snapshots and not args.weights:
+        keys = args.snapshots.split(",")
+        todo = [s for s in todo
+                if any(k in os.path.basename(s[1]) for k in keys)]
     per_crop = {}
     for name, path in todo:
         model = build_model(name)
