@@ -14,13 +14,6 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     flags = flags + " --xla_force_host_platform_device_count=8"
-# Pin the CPU codegen target so compile-cache entries are portable across
-# host swaps (environment resets land the repo on different machines and
-# XLA:CPU's AOT loader rejects entries whose machine features don't match
-# — VERDICT r4 #1). Must match __graft_entry__._DRYRUN_CPU_ISA so tests
-# and the driver's dryrun share one cache generation.
-if "xla_cpu_max_isa" not in flags:
-    flags = flags + " --xla_cpu_max_isa=AVX2"
 os.environ["XLA_FLAGS"] = flags.strip()
 
 import jax  # noqa: E402
@@ -31,20 +24,16 @@ jax.config.update("jax_platforms", "cpu")
 # take minutes; cache them across test runs/processes.
 _CACHE_DIR = os.path.join(os.path.dirname(__file__), "..", ".cache", "jax_compilation")
 os.makedirs(_CACHE_DIR, exist_ok=True)
-# Same generation marker as __graft_entry__._reset_proof_cpu_cache (kept in
-# sync by tests/test_graft_entry_gate.py): purge cache generations written
-# without the ISA pin so a host swap never pays per-entry AOT rejections.
-_marker = os.path.join(_CACHE_DIR, "CACHE_GENERATION")
-_want = "cpu_max_isa=AVX2"
-_have = open(_marker).read().strip() if os.path.exists(_marker) else None
-if _have != _want:
-    if _have is not None or os.listdir(_CACHE_DIR):
-        import shutil
+# Same host-fingerprint generation marker as __graft_entry__.
+# _reset_proof_cpu_cache (kept in sync by tests/test_graft_entry_gate.py):
+# purge cache generations written on a different host so a host swap never
+# pays per-entry cpu_aot_loader rejections (VERDICT r4 #1).
+import sys as _sys
 
-        shutil.rmtree(_CACHE_DIR, ignore_errors=True)
-        os.makedirs(_CACHE_DIR, exist_ok=True)
-    with open(_marker, "w") as f:
-        f.write(_want + "\n")
+_sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+from __graft_entry__ import _reset_proof_cpu_cache as _rpc  # noqa: E402
+
+_rpc(_CACHE_DIR)
 try:
     jax.config.update("jax_compilation_cache_dir", os.path.abspath(_CACHE_DIR))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
